@@ -1,0 +1,138 @@
+"""Headline benchmark: LightGCN training throughput on a MovieLens-1M-scale graph.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric: propagated edges/sec/chip through the full fused train step (K-hop
+bipartite SpMM forward + BPR + backward + Adam) on the TPU, on a synthetic
+graph with MovieLens-1M's shape (6040 users × 3706 items × ~1M interactions —
+the reference's headline dataset; no network egress, so the raw ml-1m file is
+replaced by a same-shape synthetic graph).
+
+Baseline: the same training step implemented with torch (CPU) index_select +
+index_add_ — an in-process stand-in for the reference's torch_sparse CPU hot
+loop (``model/lightgcn.py:85-87`` runs CPU SpMM on the CI runner that defines
+the reference's published acceptance numbers). BASELINE.md target: ≥5×.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+DIM = 32          # lightgcn_config.hidden_layer_size (reference config.py:141)
+K = 4             # num_iterations (reference config.py:145)
+BATCH = 2048
+TPU_STEPS = 30
+CPU_STEPS = 3
+
+
+def build_edges():
+    from laplace_gnn_recommendation_tpu.data.synthetic import movielens_like_edges
+
+    return movielens_like_edges(seed=0, scale=1.0)
+
+
+def bench_tpu(eu, ei, num_users, num_items):
+    import jax
+    from laplace_gnn_recommendation_tpu.configs import LightGCNConfig
+    from laplace_gnn_recommendation_tpu.data.graph import BipartiteGraph
+    from laplace_gnn_recommendation_tpu.models.lightgcn import init_lightgcn
+    from laplace_gnn_recommendation_tpu.train.lightgcn_pipeline import make_train_step
+
+    g = BipartiteGraph.from_edges(eu, ei, num_users, num_items)
+    cfg = LightGCNConfig(
+        hidden_layer_size=DIM, num_iterations=K, batch_size=BATCH, Lambda=1e-6
+    )
+    max_deg = int(np.asarray(g.user_deg).max())
+    params = init_lightgcn(jax.random.PRNGKey(0), num_users, num_items, DIM)
+    step, tx = make_train_step(cfg, g, max_deg)
+    opt_state = tx.init(params)
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    keys = jax.random.split(key, TPU_STEPS + 3)
+    params, opt_state, loss = step(params, opt_state, keys[0])
+    loss.block_until_ready()
+    params, opt_state, loss = step(params, opt_state, keys[1])
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(TPU_STEPS):
+        params, opt_state, loss = step(params, opt_state, keys[i + 2])
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    edges_per_step = g.num_edges * K * 2  # both directions, forward pass
+    return edges_per_step * TPU_STEPS / dt, float(loss)
+
+
+def bench_torch_cpu(eu, ei, num_users, num_items):
+    """Reference-style torch CPU LightGCN train step (scatter-based SpMM)."""
+    import torch as t
+
+    t.manual_seed(0)
+    e = len(eu)
+    src = t.from_numpy(eu.astype(np.int64))
+    dst = t.from_numpy(ei.astype(np.int64))
+    du = t.zeros(num_users).index_add_(0, src, t.ones(e))
+    di = t.zeros(num_items).index_add_(0, dst, t.ones(e))
+    w = (du[src].clamp(min=1) * di[dst].clamp(min=1)).rsqrt()
+
+    user_emb = t.nn.Parameter(t.randn(num_users, DIM) * 0.1)
+    item_emb = t.nn.Parameter(t.randn(num_items, DIM) * 0.1)
+    opt = t.optim.Adam([user_emb, item_emb], lr=1e-3)
+    rng = np.random.default_rng(0)
+
+    def step():
+        us, its = [user_emb], [item_emb]
+        for _ in range(K):
+            m_u = t.zeros_like(user_emb).index_add_(0, src, w[:, None] * its[-1][dst])
+            m_i = t.zeros_like(item_emb).index_add_(0, dst, w[:, None] * us[-1][src])
+            us.append(m_u)
+            its.append(m_i)
+        uf = t.stack(us).mean(0)
+        itf = t.stack(its).mean(0)
+        idx = rng.integers(0, e, BATCH)
+        u, pos = src[idx], dst[idx]
+        neg = t.from_numpy(rng.integers(0, num_items, BATCH))
+        poss = (uf[u] * itf[pos]).sum(-1)
+        negs = (uf[u] * itf[neg]).sum(-1)
+        loss = -t.nn.functional.logsigmoid(poss - negs).mean() + 1e-6 * (
+            user_emb.pow(2).sum() + item_emb.pow(2).sum()
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(CPU_STEPS):
+        step()
+    dt = time.perf_counter() - t0
+    return len(eu) * K * 2 * CPU_STEPS / dt
+
+
+def main():
+    eu, ei, num_users, num_items = build_edges()
+    tpu_eps, final_loss = bench_tpu(eu, ei, num_users, num_items)
+    try:
+        cpu_eps = bench_torch_cpu(eu, ei, num_users, num_items)
+        vs_baseline = tpu_eps / cpu_eps
+    except Exception as exc:  # torch missing/broken: report absolute only
+        print(f"baseline failed: {exc}", file=sys.stderr)
+        vs_baseline = float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "lightgcn_train_edges_per_sec_per_chip",
+                "value": round(tpu_eps, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

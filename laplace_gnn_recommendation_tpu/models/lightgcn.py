@@ -1,0 +1,95 @@
+"""LightGCN (https://arxiv.org/abs/2002.02126) as functional JAX.
+
+TPU-native re-design of reference ``model/lightgcn.py:11-87``: the model is
+a pytree of two embedding tables; the forward pass is the K-hop multi-scale
+diffusion from ``ops/spmm.py``. No module machinery — ``init`` returns the
+pytree, ``lightgcn_forward`` is a pure function, and everything composes with
+``jax.jit`` / ``jax.grad`` / sharding annotations.
+
+Sharding: both tables are row-sharded over the ``model`` mesh axis (the
+"central new component" of the TPU build — SURVEY §2b: the reference has no
+sharding at all). The diffusion's gathers/scatters then move frontier rows
+over ICI via XLA-inserted collectives.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data.graph import BipartiteGraph
+from ..ops.spmm import lightgcn_propagate
+
+
+@dataclass
+class LightGCNParams:
+    """E⁰ tables (reference ``model/lightgcn.py:36-44``)."""
+
+    user_emb: jnp.ndarray  # [U, D]
+    item_emb: jnp.ndarray  # [I, D]
+
+
+jax.tree_util.register_dataclass(
+    LightGCNParams, data_fields=("user_emb", "item_emb"), meta_fields=()
+)
+
+
+def init_lightgcn(
+    key: jax.Array, num_users: int, num_items: int, embedding_dim: int,
+    std: float = 0.1, dtype=jnp.float32,
+) -> LightGCNParams:
+    """normal(0, 0.1) init, as reference ``model/lightgcn.py:43-44``."""
+    ku, ki = jax.random.split(key)
+    return LightGCNParams(
+        user_emb=(jax.random.normal(ku, (num_users, embedding_dim), dtype) * std),
+        item_emb=(jax.random.normal(ki, (num_items, embedding_dim), dtype) * std),
+    )
+
+
+def lightgcn_forward(
+    params: LightGCNParams, graph: BipartiteGraph, num_iterations: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (users_final, users_0, items_final, items_0) — the contract of
+    reference ``model/lightgcn.py:46-80``."""
+    users_final, items_final = lightgcn_propagate(
+        graph, params.user_emb, params.item_emb, num_iterations
+    )
+    return users_final, params.user_emb, items_final, params.item_emb
+
+
+def bpr_loss(
+    users_emb_final: jnp.ndarray,
+    users_emb_0: jnp.ndarray,
+    pos_items_emb_final: jnp.ndarray,
+    pos_items_emb_0: jnp.ndarray,
+    neg_items_emb_final: jnp.ndarray,
+    neg_items_emb_0: jnp.ndarray,
+    lambda_val: float,
+    variant: str = "canonical",
+) -> jnp.ndarray:
+    """Bayesian Personalized Ranking loss (https://arxiv.org/abs/1205.2618).
+
+    ``canonical``: -mean(logsigmoid(pos - neg)) + λ·(‖E⁰ rows‖²) — the loss
+    the LightGCN paper trains with.
+
+    ``legacy``: -mean(softplus(pos - neg)) + reg, reproducing the reference's
+    sign quirk at ``utils/metrics_lightgcn.py:43`` (its loss goes *negative*
+    by design; see the commented floor ``tests/test_acceptance_lightgcn.py:53``).
+    Kept so reference loss curves can be compared one-to-one.
+    """
+    reg = lambda_val * (
+        jnp.sum(users_emb_0 ** 2)
+        + jnp.sum(pos_items_emb_0 ** 2)
+        + jnp.sum(neg_items_emb_0 ** 2)
+    )
+    pos_scores = jnp.sum(users_emb_final * pos_items_emb_final, axis=-1)
+    neg_scores = jnp.sum(users_emb_final * neg_items_emb_final, axis=-1)
+    diff = pos_scores - neg_scores
+    if variant == "legacy":
+        rank_term = -jnp.mean(jax.nn.softplus(diff))
+    else:
+        rank_term = -jnp.mean(jax.nn.log_sigmoid(diff))
+    return rank_term + reg

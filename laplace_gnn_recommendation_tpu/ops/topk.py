@@ -1,0 +1,143 @@
+"""Full-catalog top-k scoring (MIPS) with exclusion masking — single-chip and
+sharded.
+
+Replaces the reference's per-user CPU loop ``u @ Iᵀ → topk → set-difference``
+(``utils/metrics_lightgcn.py:125-142``) and the eval-side exclusion masking
+(``utils/metrics_encoder_decoder.py:58-72``).
+
+Exclusion semantics: the reference first takes ``topk(k + |excluded|)`` and
+removes excluded ids (``utils/metrics_lightgcn.py:139-142``); masking the
+excluded scores to a large negative value *before* one ``topk(k)`` yields the
+identical result in one pass — that is what we do, using the reference's own
+mask constant ``-(1 << 10)`` (``utils/metrics_encoder_decoder.py:69``).
+
+Sharded path: the item table is row-sharded over the ``model`` mesh axis.
+Each shard computes its local [B, I/p] score block on the MXU and its local
+top-k; the k·p candidates are all-gathered over ICI and merged with one more
+top-k. Communication is O(B·k·p) instead of O(B·I) — the standard distributed
+MIPS recipe.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import MODEL_AXIS
+
+EXCLUDE_FILL = -(1 << 10)  # reference utils/metrics_encoder_decoder.py:69
+
+
+def apply_exclusion(
+    scores: jnp.ndarray,        # [B, I]
+    exclude_items: jnp.ndarray,  # int32 [B, X] padded with >= I (or use count)
+    exclude_count: Optional[jnp.ndarray] = None,  # int32 [B]
+    fill: float = EXCLUDE_FILL,
+) -> jnp.ndarray:
+    """Set ``scores[b, exclude_items[b, j]] = fill`` for valid j.
+
+    Pad slots are routed out of bounds and dropped by the scatter.
+    """
+    b, num_items = scores.shape
+    x = exclude_items.shape[1]
+    if exclude_count is not None:
+        valid = jnp.arange(x)[None, :] < exclude_count[:, None]
+        cols = jnp.where(valid, exclude_items, num_items)  # OOB → dropped
+    else:
+        cols = exclude_items
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, x))
+    return scores.at[rows, cols].set(fill, mode="drop")
+
+
+def masked_topk(
+    scores: jnp.ndarray,
+    k: int,
+    exclude_items: Optional[jnp.ndarray] = None,
+    exclude_count: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """top-k over the item axis after exclusion masking."""
+    if exclude_items is not None:
+        scores = apply_exclusion(scores, exclude_items, exclude_count)
+    return jax.lax.top_k(scores, k)
+
+
+def mips_topk(
+    user_emb: jnp.ndarray,   # [B, D]
+    item_emb: jnp.ndarray,   # [I, D]
+    k: int,
+    exclude_items: Optional[jnp.ndarray] = None,
+    exclude_count: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-device maximum-inner-product top-k: one [B,D]×[D,I] matmul on
+    the MXU + masked top-k. Returns (values, item_ids)."""
+    scores = jnp.dot(user_emb, item_emb.T, preferred_element_type=jnp.float32)
+    return masked_topk(scores, k, exclude_items, exclude_count)
+
+
+def sharded_mips_topk(
+    mesh: Mesh,
+    user_emb: jnp.ndarray,   # [B, D] replicated over model axis
+    item_emb: jnp.ndarray,   # [I, D], I divisible by model-axis size
+    k: int,
+    exclude_items: Optional[jnp.ndarray] = None,  # global ids, [B, X]
+    exclude_count: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Distributed MIPS top-k: per-shard score+topk, all-gather merge.
+
+    Works on a 1-device mesh too (degenerates to ``mips_topk``).
+    """
+    parts = mesh.shape[MODEL_AXIS]
+    num_items = item_emb.shape[0]
+    assert num_items % parts == 0, (num_items, parts)
+    shard_items = num_items // parts
+
+    has_excl = exclude_items is not None
+    if exclude_count is None and has_excl:
+        exclude_count = jnp.full((user_emb.shape[0],), exclude_items.shape[1], jnp.int32)
+
+    def local_fn(u, it, ex_items, ex_count):
+        # my shard index along the model axis
+        my = jax.lax.axis_index(MODEL_AXIS)
+        offset = my * shard_items
+        scores = jnp.dot(u, it.T, preferred_element_type=jnp.float32)
+        if has_excl:
+            local_ids = ex_items - offset
+            in_range = (local_ids >= 0) & (local_ids < shard_items)
+            if ex_count is not None:
+                in_range &= (
+                    jnp.arange(ex_items.shape[1])[None, :] < ex_count[:, None]
+                )
+            cols = jnp.where(in_range, local_ids, shard_items)
+            rows = jnp.broadcast_to(
+                jnp.arange(u.shape[0])[:, None], ex_items.shape
+            )
+            scores = scores.at[rows, cols].set(EXCLUDE_FILL, mode="drop")
+        vals, idx = jax.lax.top_k(scores, min(k, shard_items))
+        idx = idx + offset
+        # gather the k candidates from every shard: [B, k*parts]
+        vals_all = jax.lax.all_gather(vals, MODEL_AXIS, axis=1, tiled=True)
+        idx_all = jax.lax.all_gather(idx, MODEL_AXIS, axis=1, tiled=True)
+        mvals, mpos = jax.lax.top_k(vals_all, k)
+        midx = jnp.take_along_axis(idx_all, mpos, axis=1)
+        return mvals, midx
+
+    in_specs = (
+        P(None, None),            # user_emb replicated
+        P(MODEL_AXIS, None),      # item rows sharded
+        P(None, None) if has_excl else P(),
+        P(None) if has_excl else P(),
+    )
+    fn = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    dummy = jnp.zeros((), jnp.int32)
+    return fn(
+        user_emb, item_emb,
+        exclude_items if has_excl else dummy,
+        exclude_count if has_excl else dummy,
+    )

@@ -1,0 +1,347 @@
+"""LightGCN training / eval / artifact-export pipeline.
+
+TPU-native counterpart of reference ``run_pipeline_lightgcn.py:20-242``:
+
+* full-graph K-hop forward each step (one fused jit: forward → BPR minibatch
+  → grads → Adam update; the reference pays a CPU↔GPU round trip per step for
+  its negative sampler — here sampling happens on-device inside the step),
+* ExponentialLR(0.95)-every-``lr_decay_every`` schedule (reference
+  ``run_pipeline_lightgcn.py:104,178-179``) via optax staircase decay,
+* eval = BPR loss over the eval split + batched recall/precision/NDCG@k with
+  train-edge exclusion (reference ``run_pipeline_lightgcn.py:20-73``),
+* artifact export: per-user top-``num_recommendations`` item ids (the matcher
+  hand-off, reference ``run_pipeline_lightgcn.py:211-222``) + embedding
+  tables (``:235-238``).
+
+Scoring embeddings: the reference's metrics and export consume the **E⁰**
+tables, not the propagated finals (``utils/metrics_lightgcn.py:93-94``,
+``run_pipeline_lightgcn.py:215-221``) — `eval_embeddings="e0"` (default)
+reproduces that; `"final"` scores with the diffused embeddings as in the
+LightGCN paper.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..configs import LightGCNConfig
+from ..data.graph import BipartiteGraph
+from ..data.lightgcn_data import EvalSet, LightGCNData
+from ..models.lightgcn import LightGCNParams, bpr_loss, init_lightgcn, lightgcn_forward
+from ..ops.metrics import ndcg_at_k, recall_precision_at_k, topk_hits
+from ..ops.sampling import sample_bpr_batch, structured_negative_sampling
+from ..ops.topk import masked_topk
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, build_mesh, replicated, row_sharding
+from .reporting import Stats
+
+
+def _user_row_ptr(g: BipartiteGraph) -> jnp.ndarray:
+    """CSR row pointers over the user-major edge ordering."""
+    return jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(g.user_deg).astype(jnp.int32)]
+    )
+
+
+def make_train_step(
+    cfg: LightGCNConfig, graph: BipartiteGraph, max_degree: int, mesh=None
+):
+    """Build the fused jitted train step. Returns (step_fn, optimizer).
+
+    With a multi-device ``mesh``, the BPR minibatch is constrained onto the
+    ``data`` axis (DP) while the tables stay row-sharded on ``model`` (TP) —
+    XLA inserts the all-to-all row exchanges and gradient psums.
+    """
+    schedule = optax.exponential_decay(
+        init_value=cfg.learning_rate,
+        transition_steps=cfg.lr_decay_every,
+        decay_rate=0.95,
+        staircase=True,
+    )
+    tx = optax.adam(learning_rate=schedule)
+    row_ptr = _user_row_ptr(graph)
+
+    batch_constraint = None
+    if mesh is not None and mesh.shape[DATA_AXIS] > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_constraint = NamedSharding(mesh, P(DATA_AXIS))
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params: LightGCNParams, opt_state, key: jax.Array):
+        u, pos, neg = sample_bpr_batch(
+            key,
+            graph.edge_user,
+            graph.edge_item,
+            graph.num_edges,
+            cfg.batch_size,
+            row_ptr,
+            graph.edge_item,
+            graph.num_items,
+            max_degree,
+        )
+        if batch_constraint is not None:
+            u = jax.lax.with_sharding_constraint(u, batch_constraint)
+            pos = jax.lax.with_sharding_constraint(pos, batch_constraint)
+            neg = jax.lax.with_sharding_constraint(neg, batch_constraint)
+
+        def loss_fn(p: LightGCNParams):
+            uf, u0, itf, it0 = lightgcn_forward(p, graph, cfg.num_iterations)
+            return bpr_loss(
+                uf[u], u0[u], itf[pos], it0[pos], itf[neg], it0[neg],
+                cfg.Lambda, cfg.bpr_variant,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step, tx
+
+
+def eval_loss(
+    cfg: LightGCNConfig,
+    params: LightGCNParams,
+    eval_graph: BipartiteGraph,
+    eval_set: EvalSet,
+    key: jax.Array,
+    max_degree: int,
+) -> jnp.ndarray:
+    """BPR loss over every edge of the eval split with one sampled negative
+    each — reference ``run_pipeline_lightgcn.py:36-67``."""
+    eu = jnp.asarray(eval_set.edge_user)
+    ei = jnp.asarray(eval_set.edge_item)
+    row_ptr = _user_row_ptr(eval_graph)
+    neg = structured_negative_sampling(
+        key, eu, row_ptr, eval_graph.edge_item, eval_graph.num_items, max_degree
+    )
+    uf, u0, itf, it0 = lightgcn_forward(params, eval_graph, cfg.num_iterations)
+    return bpr_loss(
+        uf[eu], u0[eu], itf[ei], it0[ei], itf[neg], it0[neg],
+        cfg.Lambda, cfg.bpr_variant,
+    )
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _metrics_chunk(
+    user_vecs: jnp.ndarray,    # [C, D]
+    item_emb: jnp.ndarray,     # [I, D]
+    gt_items: jnp.ndarray,     # [C, G]
+    gt_count: jnp.ndarray,     # [C]
+    excl_items: jnp.ndarray,   # [C, X]
+    excl_count: jnp.ndarray,   # [C]
+    valid: jnp.ndarray,        # bool [C] chunk padding mask
+    k: int,
+):
+    scores = jnp.dot(user_vecs, item_emb.T, preferred_element_type=jnp.float32)
+    _, topk_items = masked_topk(scores, k, excl_items, excl_count)
+    r = topk_hits(topk_items, gt_items, gt_count)
+    mask = valid & (gt_count > 0)
+    n = jnp.sum(mask)
+    hits = jnp.sum(r, axis=-1).astype(jnp.float32)
+    recall_sum = jnp.sum(
+        jnp.where(mask, hits / jnp.maximum(gt_count.astype(jnp.float32), 1.0), 0.0)
+    )
+    hits_sum = jnp.sum(jnp.where(mask, hits, 0.0))
+    discounts = 1.0 / jnp.log2(jnp.arange(2, k + 2, dtype=jnp.float32))
+    dcg = jnp.sum(r.astype(jnp.float32) * discounts[None, :], axis=-1)
+    ideal_mask = jnp.arange(k)[None, :] < jnp.minimum(gt_count, k)[:, None]
+    idcg = jnp.sum(ideal_mask.astype(jnp.float32) * discounts[None, :], axis=-1)
+    ndcg = dcg / jnp.where(idcg == 0.0, 1.0, idcg)
+    ndcg_sum = jnp.sum(jnp.where(mask, ndcg, 0.0))
+    return recall_sum, hits_sum, ndcg_sum, n
+
+
+def get_metrics(
+    params: LightGCNParams,
+    cfg: LightGCNConfig,
+    eval_set: EvalSet,
+    graph_for_final: Optional[BipartiteGraph] = None,
+    eval_embeddings: str = "e0",
+    chunk: int = 1024,
+) -> Tuple[float, float, float]:
+    """recall/precision/ndcg@k over an eval split, chunked over users.
+
+    Exact semantics of ``get_metrics_lightgcn`` (``utils/metrics_lightgcn.py:
+    79-122``): scores = user·itemᵀ, train edges masked out, topk(k), hits vs
+    the split's ground truth.
+    """
+    if eval_embeddings == "final":
+        assert graph_for_final is not None
+        uf, _, itf, _ = lightgcn_forward(params, graph_for_final, cfg.num_iterations)
+        user_emb, item_emb = uf, itf
+    else:
+        user_emb, item_emb = params.user_emb, params.item_emb
+
+    users = eval_set.users
+    b = len(users)
+    rs = hs = ns = cnt = 0.0
+    for s in range(0, b, chunk):
+        e = min(s + chunk, b)
+        c = e - s
+        pad = chunk - c
+        uu = np.pad(users[s:e], (0, pad))
+        gt = np.pad(eval_set.gt_items[s:e], ((0, pad), (0, 0)), constant_values=-1)
+        gtc = np.pad(eval_set.gt_count[s:e], (0, pad))
+        ex = np.pad(eval_set.exclude_items[s:e], ((0, pad), (0, 0)), constant_values=-1)
+        exc = np.pad(eval_set.exclude_count[s:e], (0, pad))
+        valid = np.arange(chunk) < c
+        r_, h_, n_, m_ = _metrics_chunk(
+            user_emb[jnp.asarray(uu)], item_emb,
+            jnp.asarray(gt), jnp.asarray(gtc),
+            jnp.asarray(ex), jnp.asarray(exc),
+            jnp.asarray(valid), cfg.k,
+        )
+        rs += float(r_); hs += float(h_); ns += float(n_); cnt += float(m_)
+    cnt = max(cnt, 1.0)
+    return rs / cnt, hs / cnt / cfg.k, ns / cnt
+
+
+def evaluation(
+    cfg: LightGCNConfig,
+    params: LightGCNParams,
+    eval_graph: BipartiteGraph,
+    eval_set: EvalSet,
+    key: jax.Array,
+    max_degree: int,
+    eval_embeddings: str = "e0",
+) -> Tuple[float, float, float, float]:
+    """(loss, recall, precision, ndcg) — reference ``run_pipeline_lightgcn.py:20-73``."""
+    loss = float(eval_loss(cfg, params, eval_graph, eval_set, key, max_degree))
+    recall, precision, ndcg = get_metrics(
+        params, cfg, eval_set, graph_for_final=eval_graph,
+        eval_embeddings=eval_embeddings,
+    )
+    return loss, recall, precision, ndcg
+
+
+def export_artifacts(
+    params: LightGCNParams,
+    data: LightGCNData,
+    cfg: LightGCNConfig,
+    artifact_dir: str,
+    chunk: int = 1024,
+) -> np.ndarray:
+    """Top-``num_recommendations`` per user (positives excluded) + embedding
+    tables — the matcher hand-off (reference ``run_pipeline_lightgcn.py:
+    211-238``). Returns the [U, R] recommendation matrix and writes npz."""
+    os.makedirs(artifact_dir, exist_ok=True)
+    eu, ei = data.all_edges
+    from ..data.lightgcn_data import padded_user_items
+
+    users = np.arange(data.num_users, dtype=np.int32)
+    pos_items, pos_count = padded_user_items(users, eu.astype(np.int64), ei)
+    out = np.zeros((data.num_users, cfg.num_recommendations), np.int32)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def topk_chunk(uvec, item_emb, ex, exc, k):
+        scores = jnp.dot(uvec, item_emb.T, preferred_element_type=jnp.float32)
+        _, idx = masked_topk(scores, k, ex, exc)
+        return idx
+
+    for s in range(0, data.num_users, chunk):
+        e = min(s + chunk, data.num_users)
+        pad = chunk - (e - s)
+        uu = np.pad(users[s:e], (0, pad))
+        ex = np.pad(pos_items[s:e], ((0, pad), (0, 0)), constant_values=-1)
+        exc = np.pad(pos_count[s:e], (0, pad))
+        idx = topk_chunk(
+            params.user_emb[jnp.asarray(uu)], params.item_emb,
+            jnp.asarray(ex), jnp.asarray(exc), cfg.num_recommendations,
+        )
+        out[s:e] = np.asarray(idx)[: e - s]
+
+    np.savez_compressed(
+        os.path.join(artifact_dir, "lightgcn_output.npz"),
+        recommendations=out,
+    )
+    np.savez_compressed(
+        os.path.join(artifact_dir, "lightgcn_embeddings.npz"),
+        users_emb_final=np.asarray(params.user_emb),
+        items_emb_final=np.asarray(params.item_emb),
+    )
+    return out
+
+
+def train(
+    cfg: LightGCNConfig,
+    data: LightGCNData,
+    mesh=None,
+    export: bool = True,
+    eval_embeddings: str = "e0",
+    log_fn=print,
+) -> Stats:
+    """Full training loop — reference ``run_pipeline_lightgcn.py:76-232``.
+
+    ``mesh=None`` runs single-device (the reference's setting); pass a
+    multi-device mesh to enable DP over the batch + row-sharded tables.
+    """
+    cfg.print()
+    if mesh is None:
+        mesh = build_mesh(1, 1, devices=[jax.devices()[0]])
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k_init = jax.random.split(key)
+    params = init_lightgcn(
+        k_init, data.num_users, data.num_items, cfg.hidden_layer_size
+    )
+    # Row-shard the tables over the model axis (no-op on a 1×1 mesh).
+    if mesh.shape[MODEL_AXIS] > 1:
+        params = LightGCNParams(
+            user_emb=jax.device_put(params.user_emb, row_sharding(mesh)),
+            item_emb=jax.device_put(params.item_emb, row_sharding(mesh)),
+        )
+
+    max_deg_train = int(np.asarray(data.train_graph.user_deg).max(initial=1))
+    max_deg_val = int(np.asarray(data.val_graph.user_deg).max(initial=1))
+    max_deg_test = int(np.asarray(data.test_graph.user_deg).max(initial=1))
+
+    step_fn, tx = make_train_step(cfg, data.train_graph, max_deg_train, mesh=mesh)
+    opt_state = tx.init(params)
+
+    train_loss = jnp.zeros(())
+    recall = precision = 0.0
+    for it in range(cfg.epochs):
+        key, k_step = jax.random.split(key)
+        params, opt_state, train_loss = step_fn(params, opt_state, k_step)
+
+        if it % cfg.eval_every == 0:
+            key, k_eval = jax.random.split(key)
+            val_loss, recall, precision, ndcg = evaluation(
+                cfg, params, data.val_graph, data.val_set, k_eval,
+                max_deg_val, eval_embeddings,
+            )
+            log_fn(
+                f"[Iter {it}/{cfg.epochs}] train_loss: {float(train_loss):.5f}, "
+                f"val_loss: {val_loss:.5f}, val_recall@{cfg.k}: {recall:.6f}, "
+                f"val_precision@{cfg.k}: {precision:.6f}, val_ndcg@{cfg.k}: {ndcg:.6f}"
+            )
+
+    key, k_test = jax.random.split(key)
+    test_loss, test_recall, test_precision, test_ndcg = evaluation(
+        cfg, params, data.test_graph, data.test_set, k_test,
+        max_deg_test, eval_embeddings,
+    )
+    log_fn(
+        f"[test_loss: {test_loss:.5f}, test_recall@{cfg.k}: {test_recall:.5f}, "
+        f"test_precision@{cfg.k}: {test_precision:.5f}, test_ndcg@{cfg.k}: {test_ndcg:.5f}]"
+    )
+
+    if export:
+        export_artifacts(params, data, cfg, cfg.artifact_dir)
+
+    return Stats(
+        loss=float(train_loss),
+        recall_val=recall,
+        recall_test=test_recall,
+        precision_val=precision,
+        precision_test=test_precision,
+    )

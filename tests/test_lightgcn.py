@@ -1,0 +1,164 @@
+"""LightGCN end-to-end: training improves loss and beats random-baseline
+metric floors on a synthetic MovieLens-like slice.
+
+This is the TPU counterpart of the reference acceptance tier
+(``tests/test_acceptance_movielens.py:53-60``): the container has no network
+egress, so the ml-1m download is replaced by a same-shape synthetic graph;
+floors are set analogously (loss improvement + recall/precision above the
+random-recommendation expectation).
+"""
+import jax
+import numpy as np
+import pytest
+
+from laplace_gnn_recommendation_tpu.configs import LightGCNConfig
+from laplace_gnn_recommendation_tpu.data.lightgcn_data import create_lightgcn_data
+from laplace_gnn_recommendation_tpu.data.synthetic import random_bipartite_edges
+from laplace_gnn_recommendation_tpu.models.lightgcn import (
+    bpr_loss,
+    init_lightgcn,
+    lightgcn_forward,
+)
+from laplace_gnn_recommendation_tpu.train import lightgcn_pipeline
+
+
+@pytest.fixture(scope="module")
+def tiny_data():
+    eu, ei = random_bipartite_edges(
+        seed=11, num_users=120, num_items=80, avg_degree=12
+    )
+    return create_lightgcn_data(eu, ei, 120, 80, pad_multiple=64)
+
+
+class TestModel:
+    def test_forward_shapes(self, tiny_data):
+        params = init_lightgcn(jax.random.PRNGKey(0), 120, 80, 16)
+        uf, u0, itf, it0 = lightgcn_forward(params, tiny_data.train_graph, 3)
+        assert uf.shape == (120, 16) and itf.shape == (80, 16)
+        assert np.allclose(np.asarray(u0), np.asarray(params.user_emb))
+
+    def test_bpr_variants(self):
+        import jax.numpy as jnp
+
+        z = jnp.zeros((4, 8))
+        o = jnp.ones((4, 8))
+        # canonical at diff=0: -log(sigmoid(0)) = log 2 > 0
+        canon = float(bpr_loss(o, z, o, z, z, z, 0.0, "canonical"))
+        assert canon > 0
+        # legacy at same point: -softplus(8) < 0 (the reference's sign quirk)
+        legacy = float(bpr_loss(o, z, o, z, z, z, 0.0, "legacy"))
+        assert legacy < 0
+
+    def test_grads_flow_to_e0(self, tiny_data):
+        """Training signal must reach the E0 tables through the diffusion."""
+        import jax.numpy as jnp
+
+        params = init_lightgcn(jax.random.PRNGKey(0), 120, 80, 8)
+
+        def loss(p):
+            uf, u0, itf, it0 = lightgcn_forward(p, tiny_data.train_graph, 2)
+            return bpr_loss(
+                uf[:16], u0[:16], itf[:16], it0[:16], itf[16:32], it0[16:32], 1e-6
+            )
+
+        g = jax.grad(loss)(params)
+        assert float(jnp.abs(g.user_emb).sum()) > 0
+        assert float(jnp.abs(g.item_emb).sum()) > 0
+
+
+class TestAcceptance:
+    def test_training_improves(self, tiny_data):
+        cfg = LightGCNConfig(
+            epochs=240,
+            hidden_layer_size=16,
+            batch_size=256,
+            num_iterations=2,
+            eval_every=80,
+            lr_decay_every=100,
+            learning_rate=1e-2,
+            k=12,
+            seed=42,
+        )
+        stats = lightgcn_pipeline.train(
+            cfg, tiny_data, export=False, log_fn=lambda *_: None
+        )
+        # canonical BPR starts at ln2≈0.693; training must pull it well down
+        assert stats.loss < 0.5
+        # random recommendations give recall ≈ k/num_items = 0.15 here;
+        # the model must clearly beat that floor on val and test
+        assert stats.recall_test > 0.15
+        assert stats.precision_test > 0.01
+
+    def test_deterministic_given_seed(self, tiny_data):
+        cfg = LightGCNConfig(
+            epochs=12, hidden_layer_size=8, batch_size=64, num_iterations=2,
+            eval_every=1000, k=12, seed=7,
+        )
+        s1 = lightgcn_pipeline.train(cfg, tiny_data, export=False, log_fn=lambda *_: None)
+        s2 = lightgcn_pipeline.train(cfg, tiny_data, export=False, log_fn=lambda *_: None)
+        assert s1.loss == s2.loss
+        assert s1.recall_test == s2.recall_test
+
+
+class TestArtifacts:
+    def test_export(self, tiny_data, tmp_path):
+        cfg = LightGCNConfig(
+            epochs=4, hidden_layer_size=8, batch_size=64, num_iterations=2,
+            eval_every=1000, k=12, num_recommendations=16,
+        )
+        stats = lightgcn_pipeline.train(
+            cfg, tiny_data, export=False, log_fn=lambda *_: None
+        )
+        params = init_lightgcn(jax.random.PRNGKey(0), 120, 80, 8)
+        recs = lightgcn_pipeline.export_artifacts(
+            params, tiny_data, cfg, str(tmp_path)
+        )
+        assert recs.shape == (120, 16)
+        # no recommended item may be a known positive of its user
+        eu, ei = tiny_data.all_edges
+        pos = {(int(a), int(b)) for a, b in zip(eu, ei)}
+        for u in range(120):
+            for it in recs[u]:
+                assert (u, int(it)) not in pos
+        z = np.load(tmp_path / "lightgcn_output.npz")
+        np.testing.assert_array_equal(z["recommendations"], recs)
+
+
+class TestShardedTraining:
+    def test_train_step_on_mesh(self, tiny_data, mesh8):
+        """Row-sharded tables + DP batch: one step must run and match the
+        unsharded step numerically (sharded-vs-replicated parity, SURVEY §4)."""
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from laplace_gnn_recommendation_tpu.models.lightgcn import LightGCNParams
+        from laplace_gnn_recommendation_tpu.parallel.mesh import MODEL_AXIS
+
+        cfg = LightGCNConfig(
+            epochs=1, hidden_layer_size=8, batch_size=64, num_iterations=2, k=12
+        )
+        max_deg = int(np.asarray(tiny_data.train_graph.user_deg).max())
+        params = init_lightgcn(jax.random.PRNGKey(3), 120, 80, 8)
+
+        step_plain, tx = lightgcn_pipeline.make_train_step(
+            cfg, tiny_data.train_graph, max_deg
+        )
+        p1, o1, l1 = step_plain(params, tx.init(params), jax.random.PRNGKey(5))
+
+        params2 = init_lightgcn(jax.random.PRNGKey(3), 120, 80, 8)
+        sharded = LightGCNParams(
+            user_emb=jax.device_put(
+                params2.user_emb, NamedSharding(mesh8, P(MODEL_AXIS))
+            ),
+            item_emb=jax.device_put(
+                params2.item_emb, NamedSharding(mesh8, P(MODEL_AXIS))
+            ),
+        )
+        step_sharded, tx2 = lightgcn_pipeline.make_train_step(
+            cfg, tiny_data.train_graph, max_deg, mesh=mesh8
+        )
+        p2, o2, l2 = step_sharded(sharded, tx2.init(sharded), jax.random.PRNGKey(5))
+        assert abs(float(l1) - float(l2)) < 1e-5
+        np.testing.assert_allclose(
+            np.asarray(p1.user_emb), np.asarray(p2.user_emb), rtol=1e-5, atol=1e-6
+        )
