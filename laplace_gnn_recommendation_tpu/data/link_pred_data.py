@@ -1,0 +1,122 @@
+"""Data bundle for the hetero encoder-decoder (link prediction) pipeline.
+
+Counterpart of ``data/data_loader.py:14-65``: per cumulative split
+(train ⊂ train+val ⊂ train+val+test, as built by ``run_preprocessing.py:
+142-174``) a pair of CSR adjacencies feeding the subgraph sampler, plus
+matchers for the eval splits and the full feature tables uploaded once to
+the device.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import Config
+from ..constants import EDGE_KEY
+from .graph import HeteroGraph, HostCSR
+from .matchers import Matcher, get_matchers
+from .sampler import SubgraphSampler, derive_budgets
+from .splitting import train_test_split_by_time
+
+
+@dataclass
+class SplitAdjacency:
+    user_csr: HostCSR
+    item_csr: HostCSR
+
+
+@dataclass
+class LinkPredData:
+    num_users: int
+    num_items: int
+    user_features: jnp.ndarray  # int32 [U, F_u] device table
+    item_features: jnp.ndarray  # int32 [I, F_i]
+    splits: Dict[str, SplitAdjacency]       # cumulative: train/val/test
+    matchers: Dict[str, List[Matcher]]      # for val/test
+    graph: HeteroGraph
+
+
+def create_link_pred_data(
+    g: HeteroGraph,
+    cfg: Config,
+    popular_items: Optional[np.ndarray] = None,
+    lightgcn_artifact: Optional[str] = None,
+    sorted_by_time: bool = True,
+) -> LinkPredData:
+    """Split the ``buys`` edges chronologically (leave-last-2, reference
+    ``run_data_splitting.py:36-52``), build cumulative split adjacencies and
+    matchers. Edge order in ``g`` is assumed chronological (as produced by
+    preprocessing, which sorts by timestamp — ``run_preprocessing.py:112``).
+    """
+    eu, ei = g.edges[EDGE_KEY]
+    eu = np.asarray(eu, np.int64)
+    ei = np.asarray(ei, np.int64)
+    num_users = g.num_nodes[EDGE_KEY.src]
+    num_items = g.num_nodes[EDGE_KEY.dst]
+
+    tr, va, te = train_test_split_by_time(eu)
+    cum = {
+        "train": tr,
+        "val": tr | va,
+        "test": tr | va | te,
+    }
+    splits = {}
+    for name, mask in cum.items():
+        splits[name] = SplitAdjacency(
+            user_csr=HostCSR.from_edges(eu[mask], ei[mask], num_users, num_items),
+            item_csr=HostCSR.from_edges(ei[mask], eu[mask], num_items, num_users),
+        )
+
+    matchers = {}
+    for name in ("val", "test"):
+        adj = splits[name]
+        matchers[name] = get_matchers(
+            cfg.matchers,
+            cfg.candidate_pool_size,
+            adj.user_csr,
+            adj.item_csr,
+            popular_items=popular_items,
+            lightgcn_artifact=lightgcn_artifact,
+        )
+
+    return LinkPredData(
+        num_users=num_users,
+        num_items=num_items,
+        user_features=jnp.asarray(g.node_features[EDGE_KEY.src].astype(np.int32)),
+        item_features=jnp.asarray(g.node_features[EDGE_KEY.dst].astype(np.int32)),
+        splits=splits,
+        matchers=matchers,
+        graph=g,
+    )
+
+
+def create_samplers(
+    cfg: Config, data: LinkPredData, seed: int = 0, randomization: bool = True
+) -> Tuple[SubgraphSampler, SubgraphSampler, SubgraphSampler]:
+    """(train, val, test) samplers — the ``create_dataloaders`` equivalent
+    (``data/data_loader.py:14-65``). All three share one budget set so every
+    batch in the run has identical shapes (one XLA compilation)."""
+    max_deg = max(
+        int(adj.user_csr.degrees.max(initial=1)) for adj in data.splits.values()
+    )
+    budgets = derive_budgets(
+        cfg, max_deg, max(len(m) for m in data.matchers.values())
+    )
+    train_s = SubgraphSampler(
+        cfg, data.splits["train"].user_csr, data.splits["train"].item_csr,
+        train=True, randomization=randomization, seed=seed, budgets=budgets,
+    )
+    val_s = SubgraphSampler(
+        cfg, data.splits["val"].user_csr, data.splits["val"].item_csr,
+        train=False, matchers=data.matchers["val"],
+        randomization=randomization, seed=seed + 1, budgets=budgets,
+    )
+    test_s = SubgraphSampler(
+        cfg, data.splits["test"].user_csr, data.splits["test"].item_csr,
+        train=False, matchers=data.matchers["test"],
+        randomization=randomization, seed=seed + 2, budgets=budgets,
+    )
+    return train_s, val_s, test_s

@@ -1,0 +1,400 @@
+"""Padded N-hop subgraph sampler — the device-friendly replacement for the
+reference's ``GraphDataset.__getitem__`` + PyG DataLoader worker stack
+(``data/dataset.py:39-182``, ``data/data_loader.py:48-50``).
+
+One call produces a whole :class:`SubgraphBatch` for B seed users with fully
+static shapes:
+
+* node slots carry **global** ids (the model gathers features/embeddings from
+  full device-resident tables — no per-batch feature copies),
+* subgraph edges in local slot coordinates (the ``t.bucketize`` remap of
+  ``data/dataset.py:233-241`` becomes a vectorized ``np.searchsorted``),
+* label edges laid out as a dense [B, L] per-user grid, which makes the
+  decoder, the BCE loss *and* per-user eval ranking trivially vectorizable
+  (the reference re-groups scores per user with a ragged ``padded_stack`` at
+  ``model/encoder_decoder.py:155-164``).
+
+Sampling semantics preserved from ``data/dataset.py``:
+
+* positive sampling: ``max(1, floor(|pos| · positive_edges_ratio))`` draws
+  **with replacement** (``t.randint``, ``:57-69``); deterministic mode takes
+  [argmin, argmax] of the item ids (``:61-67``) — the hook the golden-subgraph
+  oracle tests rely on,
+* negative sampling (train): uniform in [0, max_item_id) without positive
+  filtering when edges/negatives > 100, else a filtered permutation
+  (``:190-230``); deterministic mode yields [max_item_id],
+* negative sampling (eval): matcher candidates XOR positives via the
+  count==1 trick (``:93-106``) — including the reference's quirk that
+  positives *not* proposed by any matcher enter the label set with label 0;
+  ground truth for ranking metrics is carried separately so eval is unaffected,
+* N-hop BFS with per-hop ``num_neighbors`` frontier caps, user dedup, and
+  the seed user's own edges excluded from the hop edges (``:258-293``).
+
+Static-shape discipline: per-user budgets are computed from the config and
+the graph's max degree; anything beyond a budget is dropped and counted in
+``self.truncations`` (never silently).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import Config
+from .graph import HostCSR
+
+
+@dataclass
+class SubgraphBatch:
+    """One padded batch of per-user subgraphs (jittable pytree)."""
+
+    user_ids: jnp.ndarray     # int32 [NU] global user ids (pad → 0)
+    item_ids: jnp.ndarray     # int32 [NI] global item ids (pad → 0)
+    user_mask: jnp.ndarray    # bool [NU]
+    item_mask: jnp.ndarray    # bool [NI]
+    edge_src: jnp.ndarray     # int32 [E] local user slot
+    edge_dst: jnp.ndarray     # int32 [E] local item slot
+    edge_mask: jnp.ndarray    # bool [E]
+    label_src: jnp.ndarray    # int32 [B, L] local user slot
+    label_dst: jnp.ndarray    # int32 [B, L] local item slot
+    label: jnp.ndarray        # float32 [B, L]
+    label_mask: jnp.ndarray   # bool [B, L]
+    label_item_global: jnp.ndarray  # int32 [B, L]
+    seed_users: jnp.ndarray   # int32 [B] global ids
+    seed_slots: jnp.ndarray   # int32 [B] local user slot of each seed
+    gt_items: jnp.ndarray     # int32 [B, G] global gt items (eval); pad → -1
+    gt_count: jnp.ndarray     # int32 [B]
+
+
+jax.tree_util.register_dataclass(
+    SubgraphBatch,
+    data_fields=tuple(f.name for f in dataclasses.fields(SubgraphBatch)),
+    meta_fields=(),
+)
+
+
+@dataclass
+class SamplerBudgets:
+    """Static per-batch pad sizes."""
+
+    num_user_slots: int
+    num_item_slots: int
+    num_edges: int
+    labels_per_user: int
+    gt_per_user: int
+
+
+def derive_budgets(cfg: Config, max_user_degree: int, num_matchers: int = 1) -> SamplerBudgets:
+    """Derive exact (non-truncating for typical graphs) pad sizes from config
+    + graph stats; any field can be overridden via config."""
+    d = max(int(max_user_degree), 1)
+    pos_cap = max(1, int(np.floor(d * cfg.positive_edges_ratio)))
+    neg_cap = max(int(np.ceil(cfg.negative_edges_ratio * pos_cap)), cfg.k - 1)
+    # eval candidates: matcher pool + all positives (XOR quirk)
+    labels = cfg.max_labels_per_user or max(
+        pos_cap + neg_cap, pos_cap + cfg.candidate_pool_size * num_matchers + d
+    )
+    b = cfg.batch_size
+    n_hops = max(cfg.n_hop_neighbors, 1)
+    # users touched per seed: 1 + num_neighbors per deeper hop
+    users_per_seed = 1 + cfg.num_neighbors * max(n_hops - 1, 1)
+    edges_per_seed = d + cfg.num_neighbors * max(n_hops - 1, 1) * min(
+        d, 4 * cfg.num_neighbors
+    )
+    edges = cfg.max_edges_per_batch or b * edges_per_seed
+    items_per_seed = min(edges_per_seed + neg_cap + labels, edges_per_seed + labels)
+    return SamplerBudgets(
+        num_user_slots=b * users_per_seed,
+        num_item_slots=b * items_per_seed,
+        num_edges=edges,
+        labels_per_user=labels,
+        gt_per_user=d,
+    )
+
+
+class SubgraphSampler:
+    """Host-side batch sampler over CSR adjacency.
+
+    Parameters
+    ----------
+    user_csr / item_csr : HostCSR
+        user→items and item→users adjacency of the split's cumulative graph
+        (the reference's ``edges_{split}.pt`` / ``rev_edges_{split}.pt`` dicts).
+    train : bool
+        train → random negatives; eval → matcher candidates (XOR positives).
+    matchers : candidate generators (required when ``train=False``), each with
+        a ``get_matches(user_id) -> np.ndarray`` method.
+    randomization : False switches to the deterministic oracle mode used by
+        the golden-subgraph tests (reference ``data/dataset.py:24,57-67``).
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        user_csr: HostCSR,
+        item_csr: HostCSR,
+        train: bool,
+        matchers: Optional[Sequence] = None,
+        randomization: bool = True,
+        seed: int = 0,
+        budgets: Optional[SamplerBudgets] = None,
+    ):
+        self.cfg = cfg
+        self.users = user_csr
+        self.items = item_csr
+        self.train = train
+        self.matchers = list(matchers or [])
+        if not train:
+            assert self.matchers, "Must provide matchers for eval sampling"
+        self.randomization = randomization
+        self.rng = np.random.default_rng(seed)
+        self.num_users = user_csr.num_rows
+        self.num_items = user_csr.num_cols
+        max_deg = int(user_csr.degrees.max(initial=1))
+        self.budgets = budgets or derive_budgets(
+            cfg, max_deg, max(len(self.matchers), 1)
+        )
+        self.truncations: Dict[str, int] = {"edges": 0, "labels": 0, "nodes": 0}
+        # max item id with at least one edge — the reference samples negatives
+        # in [0, id_max) where id_max = max item id present (dataset.py:198)
+        self.id_max = int(item_csr.degrees.nonzero()[0].max(initial=0))
+
+    # ---- per-user pieces -------------------------------------------------
+
+    def _sample_positives(self, positives: np.ndarray) -> np.ndarray:
+        n = len(positives)
+        cut = max(1, int(np.floor(n * self.cfg.positive_edges_ratio)))
+        if self.randomization:
+            draws = self.rng.integers(0, n, size=cut)  # with replacement
+        else:
+            draws = np.array([int(np.argmin(positives)), int(np.argmax(positives))])
+        return positives[draws]
+
+    def _sample_negatives_train(
+        self, sampled_pos: np.ndarray, num_neg: int
+    ) -> np.ndarray:
+        total_edges = self.users.cols.shape[0]
+        if num_neg <= 0:
+            return np.empty(0, np.int64)
+        if total_edges / num_neg > 100:
+            if self.randomization:
+                return self.rng.integers(0, max(self.id_max, 1), size=num_neg)
+            return np.array([self.id_max])
+        pool = np.arange(self.id_max + 1)
+        only_neg = np.setdiff1d(pool, sampled_pos, assume_unique=False)
+        if self.randomization:
+            self.rng.shuffle(only_neg)
+            return only_neg[:num_neg]
+        return np.array([self.id_max])
+
+    def _candidates_eval(self, user: int, positives: np.ndarray) -> np.ndarray:
+        cands = np.unique(
+            np.concatenate([np.asarray(m.get_matches(user)).ravel() for m in self.matchers])
+        ) if self.matchers else np.empty(0, np.int64)
+        # count==1 trick of dataset.py:101-106: candidates XOR positives
+        merged = np.concatenate([cands, positives])
+        uniq, counts = np.unique(merged, return_counts=True)
+        return uniq[counts == 1]
+
+    def _cut(self, arr: np.ndarray, n: int) -> np.ndarray:
+        if len(arr) > n:
+            if self.randomization:
+                return self.rng.choice(arr, size=n, replace=False)
+            return arr[:n]
+        return arr
+
+    def _n_hop_edges(self, user: int) -> Tuple[np.ndarray, np.ndarray]:
+        """BFS hop edges (excluding the seed's own direct edges) —
+        reference ``fetch_n_hop_neighbourhood`` (``data/dataset.py:258-293``)."""
+        n = self.cfg.n_hop_neighbors
+        cap = self.cfg.num_neighbors
+        src_acc: List[np.ndarray] = []
+        dst_acc: List[np.ndarray] = []
+        explored = {user}
+        queue = np.array([user], dtype=np.int64)
+        for hop in range(n):
+            if len(queue) == 0:
+                break
+            arts = [self.users.neighbors(int(u)) for u in queue]
+            if hop != 0:
+                for u, a in zip(queue, arts):
+                    src_acc.append(np.full(len(a), u, np.int64))
+                    dst_acc.append(a.astype(np.int64))
+            new_articles = np.concatenate(arts) if arts else np.empty(0, np.int64)
+            articles_queue = self._cut(new_articles, cap)
+            nbr_users = (
+                np.concatenate([self.items.neighbors(int(a)) for a in articles_queue])
+                if len(articles_queue)
+                else np.empty(0, np.int64)
+            )
+            new_users = np.setdiff1d(np.unique(nbr_users), np.fromiter(explored, np.int64))
+            explored.update(int(u) for u in queue)
+            explored.update(int(u) for u in new_users)
+            queue = np.asarray(self._cut(new_users, cap), dtype=np.int64)
+        if src_acc:
+            return np.concatenate(src_acc), np.concatenate(dst_acc)
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+
+    # ---- batch assembly --------------------------------------------------
+
+    def sample_batch(
+        self, seed_users: np.ndarray, valid_rows: Optional[int] = None
+    ) -> SubgraphBatch:
+        """Build one padded batch for the given seed users.
+
+        ``valid_rows`` < B marks trailing rows as padding (their labels and
+        ground truth are masked out so loss/metrics ignore them)."""
+        cfg, bud = self.cfg, self.budgets
+        b = len(seed_users)
+        valid_rows = b if valid_rows is None else valid_rows
+        l_max = bud.labels_per_user
+
+        per_user = []
+        for u in seed_users:
+            u = int(u)
+            positives = self.users.neighbors(u).astype(np.int64)
+            sampled_pos = self._sample_positives(positives)
+            n_pos = len(sampled_pos)
+            if self.train:
+                ratio = (cfg.k - 1) if n_pos <= 1 else cfg.negative_edges_ratio
+                negs = self._sample_negatives_train(sampled_pos, int(ratio * n_pos))
+            else:
+                negs = self._candidates_eval(u, positives)
+            hop_src, hop_dst = self._n_hop_edges(u)
+            per_user.append((u, positives, sampled_pos, negs, hop_src, hop_dst))
+
+        # node slot assignment: sorted unique global ids over the whole batch
+        all_users = np.unique(
+            np.concatenate(
+                [np.asarray([p[0]], np.int64) for p in per_user]
+                + [p[4] for p in per_user]
+            )
+        )
+        all_items = np.unique(
+            np.concatenate(
+                [np.concatenate([p[1], p[3], p[5]]) for p in per_user]
+            )
+        ) if per_user else np.empty(0, np.int64)
+
+        if len(all_users) > bud.num_user_slots or len(all_items) > bud.num_item_slots:
+            self.truncations["nodes"] += 1
+            all_users = all_users[: bud.num_user_slots]
+            all_items = all_items[: bud.num_item_slots]
+
+        def uslot(x):
+            return np.searchsorted(all_users, x)
+
+        def islot(x):
+            return np.searchsorted(all_items, x)
+
+        # subgraph edges = per-user (positive edges + hop edges), local coords
+        esrc_l, edst_l = [], []
+        for (u, positives, _sp, _n, hop_src, hop_dst) in per_user:
+            esrc_l.append(np.full(len(positives), u, np.int64))
+            edst_l.append(positives)
+            esrc_l.append(hop_src)
+            edst_l.append(hop_dst)
+        esrc = np.concatenate(esrc_l)
+        edst = np.concatenate(edst_l)
+        # drop edges touching truncated nodes
+        keep = np.isin(esrc, all_users) & np.isin(edst, all_items)
+        if not keep.all():
+            self.truncations["edges"] += int((~keep).sum())
+            esrc, edst = esrc[keep], edst[keep]
+        if len(esrc) > bud.num_edges:
+            self.truncations["edges"] += len(esrc) - bud.num_edges
+            esrc, edst = esrc[: bud.num_edges], edst[: bud.num_edges]
+
+        e_pad = bud.num_edges
+        edge_src = np.zeros(e_pad, np.int32)
+        edge_dst = np.zeros(e_pad, np.int32)
+        edge_mask = np.zeros(e_pad, bool)
+        edge_src[: len(esrc)] = uslot(esrc)
+        edge_dst[: len(esrc)] = islot(edst)
+        edge_mask[: len(esrc)] = True
+
+        # label grid [B, L]
+        label_src = np.zeros((b, l_max), np.int32)
+        label_dst = np.zeros((b, l_max), np.int32)
+        label = np.zeros((b, l_max), np.float32)
+        label_mask = np.zeros((b, l_max), bool)
+        label_item_global = np.zeros((b, l_max), np.int32)
+        gt_items = np.full((b, bud.gt_per_user), -1, np.int32)
+        gt_count = np.zeros(b, np.int32)
+        seeds = np.zeros(b, np.int32)
+        seed_slots = np.zeros(b, np.int32)
+
+        for row, (u, positives, sampled_pos, negs, _hs, _hd) in enumerate(per_user):
+            negs = negs[np.isin(negs, all_items)]
+            items = np.concatenate([sampled_pos, negs])
+            labs = np.concatenate(
+                [np.ones(len(sampled_pos)), np.zeros(len(negs))]
+            )
+            if len(items) > l_max:
+                self.truncations["labels"] += len(items) - l_max
+                items, labs = items[:l_max], labs[:l_max]
+            c = len(items)
+            label_src[row, :c] = uslot(np.full(c, u))
+            label_dst[row, :c] = islot(items)
+            label[row, :c] = labs
+            label_mask[row, :c] = True
+            label_item_global[row, :c] = items
+            g = min(len(positives), bud.gt_per_user)
+            gt_items[row, :g] = positives[:g]
+            gt_count[row] = g
+            seeds[row] = u
+            seed_slots[row] = uslot(np.array([u]))[0]
+
+        if valid_rows < b:
+            label_mask[valid_rows:] = False
+            gt_count[valid_rows:] = 0
+
+        nu, ni = bud.num_user_slots, bud.num_item_slots
+        user_ids = np.zeros(nu, np.int32)
+        user_ids[: len(all_users)] = all_users
+        item_ids = np.zeros(ni, np.int32)
+        item_ids[: len(all_items)] = all_items
+        user_mask = np.arange(nu) < len(all_users)
+        item_mask = np.arange(ni) < len(all_items)
+
+        return SubgraphBatch(
+            user_ids=jnp.asarray(user_ids),
+            item_ids=jnp.asarray(item_ids),
+            user_mask=jnp.asarray(user_mask),
+            item_mask=jnp.asarray(item_mask),
+            edge_src=jnp.asarray(edge_src),
+            edge_dst=jnp.asarray(edge_dst),
+            edge_mask=jnp.asarray(edge_mask),
+            label_src=jnp.asarray(label_src),
+            label_dst=jnp.asarray(label_dst),
+            label=jnp.asarray(label),
+            label_mask=jnp.asarray(label_mask),
+            label_item_global=jnp.asarray(label_item_global),
+            seed_users=jnp.asarray(seeds),
+            seed_slots=jnp.asarray(seed_slots),
+            gt_items=jnp.asarray(gt_items),
+            gt_count=jnp.asarray(gt_count),
+        )
+
+    def epoch_batches(self, shuffle: bool = True):
+        """Iterate the users in batches of ``cfg.batch_size`` (last partial
+        batch is padded by repeating the final user, masked out via gt_count
+        =0 semantics not needed — labels stay valid; mirrors DataLoader
+        drop_last=False)."""
+        users = np.arange(self.num_users)
+        # skip users with no edges in this split (reference datasets only
+        # index users present in the adjacency dict)
+        users = users[self.users.degrees > 0]
+        if shuffle and self.randomization:
+            self.rng.shuffle(users)
+        b = self.cfg.batch_size
+        for s in range(0, len(users), b):
+            chunk = users[s : s + b]
+            valid = len(chunk)
+            if valid < b:
+                chunk = np.concatenate([chunk, np.full(b - valid, chunk[-1])])
+            yield self.sample_batch(chunk, valid_rows=valid)

