@@ -198,10 +198,17 @@ _CLI_SKIP_TYPES = (list, dict, MeshConfig)
 
 
 def add_dataclass_args(parser: argparse.ArgumentParser, instance) -> None:
-    """Auto-create one ``--flag`` per simple dataclass field."""
+    """Auto-create one ``--flag`` per simple dataclass field. Fields whose
+    flag is already registered (explicitly, or by an earlier config sharing
+    the field name) are skipped — first registration wins."""
+    existing = {
+        s for a in parser._actions for s in a.option_strings  # noqa: SLF001
+    }
     for f in dataclasses.fields(instance):
         value = getattr(instance, f.name)
         if isinstance(value, _CLI_SKIP_TYPES) or f.name in ("mesh",):
+            continue
+        if f"--{f.name}" in existing:
             continue
         if isinstance(value, bool):
             parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"), default=value)

@@ -93,6 +93,52 @@ def create_link_pred_data(
     )
 
 
+def create_link_pred_data_from_artifacts(
+    artifact_dir: str, cfg: Config
+) -> Tuple[LinkPredData, "LinkPredArtifacts"]:
+    """Load preprocessed artifacts and build the data bundle with the saved
+    split masks (the artifact-driven flow: preprocess → train as separate
+    processes, like the reference's ``data/derived`` hand-off)."""
+    from .etl import load_artifacts
+
+    a = load_artifacts(artifact_dir)
+    eu, ei = a.graph.edges[EDGE_KEY]
+    eu = np.asarray(eu, np.int64)
+    ei = np.asarray(ei, np.int64)
+    num_users = a.graph.num_nodes[EDGE_KEY.src]
+    num_items = a.graph.num_nodes[EDGE_KEY.dst]
+    cum = {
+        "train": a.train_mask,
+        "val": a.train_mask | a.val_mask,
+        "test": a.train_mask | a.val_mask | a.test_mask,
+    }
+    splits = {
+        name: SplitAdjacency(
+            user_csr=HostCSR.from_edges(eu[m], ei[m], num_users, num_items),
+            item_csr=HostCSR.from_edges(ei[m], eu[m], num_items, num_users),
+        )
+        for name, m in cum.items()
+    }
+    matchers = {
+        name: get_matchers(
+            cfg.matchers, cfg.candidate_pool_size,
+            splits[name].user_csr, splits[name].item_csr,
+            popular_items=a.popular_items,
+        )
+        for name in ("val", "test")
+    }
+    data = LinkPredData(
+        num_users=num_users,
+        num_items=num_items,
+        user_features=jnp.asarray(a.graph.node_features[EDGE_KEY.src].astype(np.int32)),
+        item_features=jnp.asarray(a.graph.node_features[EDGE_KEY.dst].astype(np.int32)),
+        splits=splits,
+        matchers=matchers,
+        graph=a.graph,
+    )
+    return data, a
+
+
 def create_samplers(
     cfg: Config, data: LinkPredData, seed: int = 0, randomization: bool = True
 ) -> Tuple[SubgraphSampler, SubgraphSampler, SubgraphSampler]:

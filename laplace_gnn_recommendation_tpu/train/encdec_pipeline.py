@@ -110,7 +110,8 @@ def run_pipeline(
     model_dir: str = "model/saved",
     log_fn=print,
     randomization: bool = True,
-) -> Stats:
+    return_state: bool = False,
+):
     """Full training run — reference ``run_pipeline.py:24-153``."""
     cfg.print()
     cfg.check_validity()
@@ -191,10 +192,13 @@ def run_pipeline(
         ),
         wandb, final=True,
     )
-    return Stats(
+    stats = Stats(
         loss=float(np.mean(losses)),
         recall_val=val_recall,
         recall_test=test_recall,
         precision_val=val_precision,
         precision_test=test_precision,
     )
+    if return_state:
+        return stats, params, bn_state
+    return stats

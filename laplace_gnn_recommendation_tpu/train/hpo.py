@@ -1,0 +1,121 @@
+"""Hyperparameter optimization.
+
+Counterpart of reference ``run_hpo.py`` (optuna, 40 trials, minimize
+1 − precision_val) and the wandb random sweep (``sweep.yaml`` +
+``run_sweep.py``). The TPU image carries neither optuna nor wandb, so the
+default engine is a built-in seeded random-search over the same space with
+the same objective; optuna is used automatically when importable.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..configs import Config, link_pred_config
+
+# The search space of reference run_hpo.py:14-50 / sweep.yaml:11-37.
+SEARCH_SPACE: Dict[str, list] = {
+    "num_gnn_layers": [1, 2, 3, 4],
+    "num_linear_layers": [1, 2, 3, 4],
+    "hidden_layer_size": [32, 64, 128, 256, 512],
+    "encoder_layer_output_size": [32, 64, 128, 256, 512],
+    "conv_agg_type": ["add", "mean", "max"],
+    "heterogeneous_prop_agg_type": ["sum", "mean", "min", "max", "mul"],
+    "learning_rate": [1e-2, 1e-3, 1e-4, 1e-5, 1e-6],
+    "num_neighbors": [24, 32, 64, 128],
+    "candidate_pool_size": [24, 64, 128, 256],
+    "positive_edges_ratio": [0.2, 0.5, 0.8, 1.0],
+    "negative_edges_ratio": [1.0, 2.0, 5.0, 10.0, 20.0],
+    "p_dropout_features": [0.0, 0.15, 0.3, 0.5],
+}
+
+
+def sample_trial(rng: np.random.Generator) -> Dict:
+    params = {k: rng.choice(v).item() if isinstance(v[0], (int, float)) else v[rng.integers(len(v))]
+              for k, v in SEARCH_SPACE.items()}
+    # n_hop_neighbors tied to num_gnn_layers as in run_hpo.py:38
+    params["n_hop_neighbors"] = params["num_gnn_layers"]
+    return params
+
+
+def make_trial_config(base: Config, params: Dict) -> Config:
+    cfg = dataclasses.replace(base)
+    for k, v in params.items():
+        setattr(cfg, k, v)
+    # keep k ≤ 2·candidate_pool_size invariant (run_pipeline.py:32-34)
+    cfg.candidate_pool_size = max(cfg.candidate_pool_size, cfg.k)
+    return cfg
+
+
+def run_study(
+    objective: Callable[[Config], float],
+    base: Config,
+    n_trials: int = 40,
+    seed: int = 0,
+    out_csv: Optional[str] = "output/trials.csv",
+) -> Dict:
+    """Minimize ``objective(config)`` (reference objective: 1 − precision_val,
+    ``run_hpo.py:52``). Returns the best params dict; writes a trials table.
+    """
+    try:  # pragma: no cover - optuna not in the image
+        import optuna
+
+        def train(trial):
+            params = {
+                k: trial.suggest_categorical(k, v) for k, v in SEARCH_SPACE.items()
+            }
+            params["n_hop_neighbors"] = params["num_gnn_layers"]
+            return objective(make_trial_config(base, params))
+
+        study = optuna.create_study()
+        study.optimize(train, n_trials=n_trials)
+        best = study.best_params
+        if out_csv:
+            os.makedirs(os.path.dirname(out_csv), exist_ok=True)
+            study.trials_dataframe().to_csv(out_csv)
+        return best
+    except ImportError:
+        pass
+
+    rng = np.random.default_rng(seed)
+    rows: List[Dict] = []
+    best_val, best_params = float("inf"), {}
+    for i in range(n_trials):
+        params = sample_trial(rng)
+        val = objective(make_trial_config(base, params))
+        rows.append({"trial": i, "value": val, **params})
+        if val < best_val:
+            best_val, best_params = val, params
+        print(f"| trial {i}: value={val:.5f} best={best_val:.5f}")
+    if out_csv:
+        os.makedirs(os.path.dirname(out_csv) or ".", exist_ok=True)
+        with open(out_csv, "w") as f:
+            keys = list(rows[0].keys())
+            f.write(",".join(keys) + "\n")
+            for r in rows:
+                f.write(",".join(str(r[k]) for k in keys) + "\n")
+    return best_params
+
+
+def run_hpo(artifact_dir: str, n_trials: int = 40) -> Dict:
+    """End-to-end HPO over the encoder-decoder pipeline — reference
+    ``run_hpo.py`` settings (epochs=4, eval_every=4, break_at=50)."""
+    from ..data.link_pred_data import create_link_pred_data_from_artifacts
+    from .encdec_pipeline import run_pipeline
+
+    base = dataclasses.replace(
+        link_pred_config, epochs=4, k=12, eval_every=4, evaluate_break_at=50
+    )
+
+    def objective(cfg: Config) -> float:
+        data, _ = create_link_pred_data_from_artifacts(artifact_dir, cfg)
+        stats = run_pipeline(cfg, data, log_fn=lambda *_: None)
+        return 1.0 - stats.precision_val
+
+    best = run_study(objective, base, n_trials=n_trials)
+    print("best params:", json.dumps(best, default=str))
+    return best
