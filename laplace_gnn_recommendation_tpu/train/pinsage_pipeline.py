@@ -1,0 +1,197 @@
+"""PinSAGE training / eval pipeline.
+
+Counterpart of reference ``pinsage/model.py:36-134`` + ``pinsage/
+evaluation.py:18-73`` (+ the bit-rotted ``run_pinsage.py``, whose *behavior*
+— not its broken imports — is the spec, per SURVEY "known quirks"):
+
+* epochs of (head, tail, neg) margin-loss batches over random-walk blocks,
+* eval: embed ALL items via the block sampler, then latest-item
+  nearest-neighbor retrieval per user with interacted-item exclusion,
+  scored as HITS@k (fraction of users whose top-k contains a val item).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.pinsage_data import PinSAGEData, PinSAGESampler, build_pinsage_data
+from ..models import pinsage as M
+from ..ops.topk import masked_topk
+
+
+@dataclass
+class PinSAGEConfig:
+    """Defaults of reference ``run_pinsage.py:6-37`` / ``pinsage/model.py:137-160``."""
+
+    random_walk_length: int = 2
+    random_walk_restart_prob: float = 0.5
+    num_random_walks: int = 10
+    num_neighbors: int = 3
+    num_layers: int = 2
+    hidden_dims: int = 16
+    batch_size: int = 32
+    num_epochs: int = 10
+    batches_per_epoch: int = 20000
+    lr: float = 3e-5
+    k: int = 10
+    seed: int = 0
+
+
+def embed_all_items(
+    cfg: PinSAGEConfig,
+    params: dict,
+    data: PinSAGEData,
+    sampler: PinSAGESampler,
+    item_features: jnp.ndarray,
+    item_features_float: Optional[jnp.ndarray],
+) -> np.ndarray:
+    """h_item for every item via block sampling in batches (reference
+    ``pinsage/model.py:121-132`` with ``collate_test``)."""
+    reprs = np.zeros((data.num_items, cfg.hidden_dims), np.float32)
+
+    @jax.jit
+    def repr_fn(params, blocks):
+        return M.get_repr(params, blocks, item_features, item_features_float, train=False)
+
+    bs = sampler.dst_budget[0]
+    for s in range(0, data.num_items, bs):
+        seeds = np.arange(s, min(s + bs, data.num_items))
+        blocks, _ = sampler.sample_blocks(seeds)
+        h = np.asarray(repr_fn(params, blocks))
+        reprs[seeds] = h[: len(seeds)]
+    return reprs
+
+
+def hits_at_k(
+    data: PinSAGEData,
+    h_item: np.ndarray,
+    k: int,
+    split: str = "val",
+    batch_size: int = 512,
+) -> float:
+    """LatestNNRecommender + HITS@k (reference ``pinsage/evaluation.py:8-73``):
+    for each user, rank items by similarity to their latest train item,
+    excluding already-interacted items; hit if any top-k item is in the
+    split's ground truth."""
+    gt = data.val_items if split == "val" else data.test_items
+    h = jnp.asarray(h_item)
+    hits = []
+    users = [u for u in range(data.num_users) if len(gt[u]) > 0]
+    max_deg = max((data.user_csr.degree(u) for u in users), default=1)
+
+    for s in range(0, len(users), batch_size):
+        chunk = users[s : s + batch_size]
+        latest = data.latest_item_per_user[chunk]
+        excl = np.full((len(chunk), max_deg), -1, np.int64)
+        cnt = np.zeros(len(chunk), np.int32)
+        for row, u in enumerate(chunk):
+            items = data.user_csr.neighbors(u)
+            excl[row, : len(items)] = items
+            cnt[row] = len(items)
+        scores = jnp.asarray(h)[jnp.asarray(latest)] @ h.T
+        _, topk = masked_topk(
+            scores, k, jnp.asarray(excl.astype(np.int32)), jnp.asarray(cnt)
+        )
+        topk = np.asarray(topk)
+        for row, u in enumerate(chunk):
+            hits.append(bool(np.isin(topk[row], gt[u]).any()))
+    return float(np.mean(hits)) if hits else 0.0
+
+
+def train(
+    cfg: PinSAGEConfig,
+    data: PinSAGEData,
+    log_fn=print,
+) -> dict:
+    """Training loop (reference ``pinsage/model.py:105-134``). Returns a dict
+    with final params, item embeddings and HITS@k per split."""
+    sampler = PinSAGESampler(
+        data,
+        random_walk_length=cfg.random_walk_length,
+        random_walk_restart_prob=cfg.random_walk_restart_prob,
+        num_random_walks=cfg.num_random_walks,
+        num_neighbors=cfg.num_neighbors,
+        num_layers=cfg.num_layers,
+        batch_size=cfg.batch_size,
+        seed=cfg.seed,
+    )
+    item_features = jnp.asarray(data.item_features)
+    item_features_float = (
+        jnp.asarray(data.item_features_float)
+        if data.item_features_float is not None
+        else None
+    )
+    cards = (
+        data.item_features.max(axis=0).tolist() if data.item_features.size else []
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k_init = jax.random.split(key)
+    params = M.init_pinsage_params(
+        k_init, data.num_items, [int(c) for c in cards], cfg.hidden_dims,
+        cfg.num_layers,
+        float_feature_dim=(
+            data.item_features_float.shape[1]
+            if data.item_features_float is not None else 0
+        ),
+    )
+    tx = optax.adam(cfg.lr)
+    opt_state = tx.init(params)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch, k):
+        def loss_fn(p):
+            return M.margin_loss(
+                p, batch, item_features, item_features_float, train=True, rng=k
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    loss = jnp.zeros(())
+    val_hits = 0.0
+    for epoch in range(cfg.num_epochs):
+        for _ in range(cfg.batches_per_epoch):
+            batch = sampler.sample_train_batch()
+            if batch is None:
+                continue
+            key, k_step = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, batch, k_step)
+        h_item = embed_all_items(
+            cfg, params, data, sampler, item_features, item_features_float
+        )
+        val_hits = hits_at_k(data, h_item, cfg.k, "val")
+        log_fn(
+            f"[epoch {epoch}] loss: {float(loss):.5f} HITS@{cfg.k} (val): {val_hits:.5f}"
+        )
+
+    h_item = embed_all_items(
+        cfg, params, data, sampler, item_features, item_features_float
+    )
+    test_hits = hits_at_k(data, h_item, cfg.k, "test")
+    log_fn(f"HITS@{cfg.k} (test): {test_hits:.5f}")
+    return {
+        "params": params,
+        "item_embeddings": h_item,
+        "val_hits": val_hits,
+        "test_hits": test_hits,
+        "loss": float(loss),
+    }
+
+
+def run_pinsage_cli(artifact_dir: str) -> None:
+    """CLI entry: artifacts → PinSAGE training (reference ``run_pinsage.py``)."""
+    from ..data.etl import load_artifacts
+
+    a = load_artifacts(artifact_dir)
+    data = build_pinsage_data(a)
+    cfg = PinSAGEConfig(num_epochs=2, batches_per_epoch=200)
+    train(cfg, data)
