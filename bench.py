@@ -39,7 +39,10 @@ def bench_tpu(eu, ei, num_users, num_items):
     from laplace_gnn_recommendation_tpu.configs import LightGCNConfig
     from laplace_gnn_recommendation_tpu.data.graph import BipartiteGraph
     from laplace_gnn_recommendation_tpu.models.lightgcn import init_lightgcn
-    from laplace_gnn_recommendation_tpu.train.lightgcn_pipeline import make_train_step
+    from laplace_gnn_recommendation_tpu.train.lightgcn_pipeline import (
+        make_train_step,
+        maybe_dense,
+    )
 
     g = BipartiteGraph.from_edges(eu, ei, num_users, num_items)
     cfg = LightGCNConfig(
@@ -47,7 +50,8 @@ def bench_tpu(eu, ei, num_users, num_items):
     )
     max_deg = int(np.asarray(g.user_deg).max())
     params = init_lightgcn(jax.random.PRNGKey(0), num_users, num_items, DIM)
-    step, tx = make_train_step(cfg, g, max_deg)
+    # auto-selects the dense MXU propagation path at this scale
+    step, tx = make_train_step(cfg, g, max_deg, prop_graph=maybe_dense(cfg, g))
     opt_state = tx.init(params)
     key = jax.random.PRNGKey(1)
 

@@ -17,11 +17,14 @@ import dataclasses
 from dataclasses import dataclass
 from typing import Tuple
 
+from typing import Union
+
 import jax
 import jax.numpy as jnp
 
 from ..data.graph import BipartiteGraph
 from ..ops.spmm import lightgcn_propagate
+from ..ops.spmm_dense import DenseAdjacency, lightgcn_propagate_dense
 
 
 @dataclass
@@ -50,13 +53,25 @@ def init_lightgcn(
 
 
 def lightgcn_forward(
-    params: LightGCNParams, graph: BipartiteGraph, num_iterations: int
+    params: LightGCNParams,
+    graph: Union[BipartiteGraph, DenseAdjacency],
+    num_iterations: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (users_final, users_0, items_final, items_0) — the contract of
-    reference ``model/lightgcn.py:46-80``."""
-    users_final, items_final = lightgcn_propagate(
-        graph, params.user_emb, params.item_emb, num_iterations
-    )
+    reference ``model/lightgcn.py:46-80``.
+
+    Dispatches on adjacency representation: :class:`DenseAdjacency` runs the
+    MXU dense path (~28× faster at ML-1M scale), :class:`BipartiteGraph` the
+    segment-sum path for graphs too large to densify.
+    """
+    if isinstance(graph, DenseAdjacency):
+        users_final, items_final = lightgcn_propagate_dense(
+            graph, params.user_emb, params.item_emb, num_iterations
+        )
+    else:
+        users_final, items_final = lightgcn_propagate(
+            graph, params.user_emb, params.item_emb, num_iterations
+        )
     return users_final, params.user_emb, items_final, params.item_emb
 
 

@@ -50,8 +50,21 @@ def _user_row_ptr(g: BipartiteGraph) -> jnp.ndarray:
     )
 
 
+def maybe_dense(cfg: LightGCNConfig, graph: BipartiteGraph):
+    """Densify the adjacency when it fits the budget (the MXU fast path);
+    returns the propagation operand for ``lightgcn_forward``."""
+    from ..ops.spmm_dense import DenseAdjacency, dense_fits
+
+    if cfg.dense_bytes_budget and dense_fits(
+        graph.num_users, graph.num_items, cfg.dense_bytes_budget
+    ):
+        return DenseAdjacency.from_graph(graph)
+    return graph
+
+
 def make_train_step(
-    cfg: LightGCNConfig, graph: BipartiteGraph, max_degree: int, mesh=None
+    cfg: LightGCNConfig, graph: BipartiteGraph, max_degree: int, mesh=None,
+    prop_graph=None,
 ):
     """Build the fused jitted train step. Returns (step_fn, optimizer).
 
@@ -67,6 +80,8 @@ def make_train_step(
     )
     tx = optax.adam(learning_rate=schedule)
     row_ptr = _user_row_ptr(graph)
+    if prop_graph is None:
+        prop_graph = graph
 
     batch_constraint = None
     if mesh is not None and mesh.shape[DATA_AXIS] > 1:
@@ -93,7 +108,7 @@ def make_train_step(
             neg = jax.lax.with_sharding_constraint(neg, batch_constraint)
 
         def loss_fn(p: LightGCNParams):
-            uf, u0, itf, it0 = lightgcn_forward(p, graph, cfg.num_iterations)
+            uf, u0, itf, it0 = lightgcn_forward(p, prop_graph, cfg.num_iterations)
             return bpr_loss(
                 uf[u], u0[u], itf[pos], it0[pos], itf[neg], it0[neg],
                 cfg.Lambda, cfg.bpr_variant,
@@ -114,6 +129,7 @@ def eval_loss(
     eval_set: EvalSet,
     key: jax.Array,
     max_degree: int,
+    prop_graph=None,
 ) -> jnp.ndarray:
     """BPR loss over every edge of the eval split with one sampled negative
     each — reference ``run_pipeline_lightgcn.py:36-67``."""
@@ -123,7 +139,10 @@ def eval_loss(
     neg = structured_negative_sampling(
         key, eu, row_ptr, eval_graph.edge_item, eval_graph.num_items, max_degree
     )
-    uf, u0, itf, it0 = lightgcn_forward(params, eval_graph, cfg.num_iterations)
+    uf, u0, itf, it0 = lightgcn_forward(
+        params, prop_graph if prop_graph is not None else eval_graph,
+        cfg.num_iterations,
+    )
     return bpr_loss(
         uf[eu], u0[eu], itf[ei], it0[ei], itf[neg], it0[neg],
         cfg.Lambda, cfg.bpr_variant,
@@ -213,11 +232,15 @@ def evaluation(
     key: jax.Array,
     max_degree: int,
     eval_embeddings: str = "e0",
+    prop_graph=None,
 ) -> Tuple[float, float, float, float]:
     """(loss, recall, precision, ndcg) — reference ``run_pipeline_lightgcn.py:20-73``."""
-    loss = float(eval_loss(cfg, params, eval_graph, eval_set, key, max_degree))
+    loss = float(
+        eval_loss(cfg, params, eval_graph, eval_set, key, max_degree, prop_graph)
+    )
     recall, precision, ndcg = get_metrics(
-        params, cfg, eval_set, graph_for_final=eval_graph,
+        params, cfg, eval_set,
+        graph_for_final=prop_graph if prop_graph is not None else eval_graph,
         eval_embeddings=eval_embeddings,
     )
     return loss, recall, precision, ndcg
@@ -304,7 +327,13 @@ def train(
     max_deg_val = int(np.asarray(data.val_graph.user_deg).max(initial=1))
     max_deg_test = int(np.asarray(data.test_graph.user_deg).max(initial=1))
 
-    step_fn, tx = make_train_step(cfg, data.train_graph, max_deg_train, mesh=mesh)
+    train_prop = maybe_dense(cfg, data.train_graph)
+    val_prop = maybe_dense(cfg, data.val_graph)
+    test_prop = maybe_dense(cfg, data.test_graph)
+
+    step_fn, tx = make_train_step(
+        cfg, data.train_graph, max_deg_train, mesh=mesh, prop_graph=train_prop
+    )
     opt_state = tx.init(params)
 
     train_loss = jnp.zeros(())
@@ -317,7 +346,7 @@ def train(
             key, k_eval = jax.random.split(key)
             val_loss, recall, precision, ndcg = evaluation(
                 cfg, params, data.val_graph, data.val_set, k_eval,
-                max_deg_val, eval_embeddings,
+                max_deg_val, eval_embeddings, prop_graph=val_prop,
             )
             log_fn(
                 f"[Iter {it}/{cfg.epochs}] train_loss: {float(train_loss):.5f}, "
@@ -328,7 +357,7 @@ def train(
     key, k_test = jax.random.split(key)
     test_loss, test_recall, test_precision, test_ndcg = evaluation(
         cfg, params, data.test_graph, data.test_set, k_test,
-        max_deg_test, eval_embeddings,
+        max_deg_test, eval_embeddings, prop_graph=test_prop,
     )
     log_fn(
         f"[test_loss: {test_loss:.5f}, test_recall@{cfg.k}: {test_recall:.5f}, "
