@@ -139,8 +139,12 @@ class PinSAGESampler:
         num_layers: int = 2,
         batch_size: int = 32,
         seed: int = 0,
+        use_native: bool = True,
     ):
         self.d = data
+        from .. import native as _native
+
+        self._native = _native if (use_native and _native.LIB is not None) else None
         self.walk_length = random_walk_length
         self.restart_prob = random_walk_restart_prob
         self.num_walks = num_random_walks
@@ -161,6 +165,12 @@ class PinSAGESampler:
 
     def _walk_step(self, items: np.ndarray) -> np.ndarray:
         """One item→user→item metapath traversal; dead ends return -1."""
+        if self._native is not None:
+            return self._native.walk_step(
+                self.d.user_csr.row_ptr, self.d.user_csr.cols,
+                self.d.item_csr.row_ptr, self.d.item_csr.cols,
+                items, int(self.rng.integers(0, 2 ** 62)),
+            )
         out = np.full(len(items), -1, np.int64)
         for idx, it in enumerate(items):
             if it < 0:
@@ -180,6 +190,15 @@ class PinSAGESampler:
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Top-``num_neighbors`` visited items per seed with visit counts —
         the PinSAGESampler contract (edges neighbor→seed, weight=count)."""
+        if self._native is not None:
+            return self._native.pinsage_frontier(
+                self.d.user_csr.row_ptr, self.d.user_csr.cols,
+                self.d.item_csr.row_ptr, self.d.item_csr.cols,
+                np.asarray(seeds, np.int32),
+                self.walk_length, self.restart_prob,
+                self.num_walks, self.num_neighbors,
+                int(self.rng.integers(0, 2 ** 62)),
+            )
         n = len(seeds)
         counts: List[Dict[int, int]] = [dict() for _ in range(n)]
         for _ in range(self.num_walks):

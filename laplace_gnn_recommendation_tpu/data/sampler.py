@@ -142,6 +142,7 @@ class SubgraphSampler:
         randomization: bool = True,
         seed: int = 0,
         budgets: Optional[SamplerBudgets] = None,
+        use_native: bool = True,
     ):
         self.cfg = cfg
         self.users = user_csr
@@ -162,6 +163,11 @@ class SubgraphSampler:
         # max item id with at least one edge — the reference samples negatives
         # in [0, id_max) where id_max = max item id present (dataset.py:198)
         self.id_max = int(item_csr.degrees.nonzero()[0].max(initial=0))
+        # native C++ BFS fast path (deterministic oracle mode stays in
+        # Python so golden-subgraph tests pin the exact reference semantics)
+        from .. import native as _native
+
+        self._native = _native if (use_native and _native.LIB is not None) else None
 
     # ---- per-user pieces -------------------------------------------------
 
@@ -239,6 +245,26 @@ class SubgraphSampler:
             return np.concatenate(src_acc), np.concatenate(dst_acc)
         return np.empty(0, np.int64), np.empty(0, np.int64)
 
+    def _batch_n_hop_edges(self, seed_users: np.ndarray):
+        """Hop edges for all seeds — one OpenMP-parallel native call when the
+        C++ library is available and randomized sampling is on; per-seed
+        Python BFS otherwise."""
+        if self._native is not None and self.randomization:
+            rng_seed = int(self.rng.integers(0, 2 ** 62))
+            src, dst, off = self._native.nhop_sample(
+                self.users.row_ptr, self.users.cols,
+                self.items.row_ptr, self.items.cols,
+                self.num_users, self.num_items,
+                np.asarray(seed_users, np.int32),
+                self.cfg.n_hop_neighbors, self.cfg.num_neighbors, rng_seed,
+            )
+            return [
+                (src[off[i]: off[i + 1]].astype(np.int64),
+                 dst[off[i]: off[i + 1]].astype(np.int64))
+                for i in range(len(seed_users))
+            ]
+        return [self._n_hop_edges(int(u)) for u in seed_users]
+
     # ---- batch assembly --------------------------------------------------
 
     def sample_batch(
@@ -253,8 +279,9 @@ class SubgraphSampler:
         valid_rows = b if valid_rows is None else valid_rows
         l_max = bud.labels_per_user
 
+        hop_edges = self._batch_n_hop_edges(seed_users)
         per_user = []
-        for u in seed_users:
+        for row, u in enumerate(seed_users):
             u = int(u)
             positives = self.users.neighbors(u).astype(np.int64)
             sampled_pos = self._sample_positives(positives)
@@ -264,7 +291,7 @@ class SubgraphSampler:
                 negs = self._sample_negatives_train(sampled_pos, int(ratio * n_pos))
             else:
                 negs = self._candidates_eval(u, positives)
-            hop_src, hop_dst = self._n_hop_edges(u)
+            hop_src, hop_dst = hop_edges[row]
             per_user.append((u, positives, sampled_pos, negs, hop_src, hop_dst))
 
         # node slot assignment: sorted unique global ids over the whole batch
@@ -361,23 +388,26 @@ class SubgraphSampler:
         user_mask = np.arange(nu) < len(all_users)
         item_mask = np.arange(ni) < len(all_items)
 
+        # numpy leaves: the device upload happens once, at the jit call
+        # boundary (eager jnp.asarray per batch would serialize host→device
+        # transfers on the sampling thread)
         return SubgraphBatch(
-            user_ids=jnp.asarray(user_ids),
-            item_ids=jnp.asarray(item_ids),
-            user_mask=jnp.asarray(user_mask),
-            item_mask=jnp.asarray(item_mask),
-            edge_src=jnp.asarray(edge_src),
-            edge_dst=jnp.asarray(edge_dst),
-            edge_mask=jnp.asarray(edge_mask),
-            label_src=jnp.asarray(label_src),
-            label_dst=jnp.asarray(label_dst),
-            label=jnp.asarray(label),
-            label_mask=jnp.asarray(label_mask),
-            label_item_global=jnp.asarray(label_item_global),
-            seed_users=jnp.asarray(seeds),
-            seed_slots=jnp.asarray(seed_slots),
-            gt_items=jnp.asarray(gt_items),
-            gt_count=jnp.asarray(gt_count),
+            user_ids=user_ids,
+            item_ids=item_ids,
+            user_mask=user_mask,
+            item_mask=item_mask,
+            edge_src=edge_src,
+            edge_dst=edge_dst,
+            edge_mask=edge_mask,
+            label_src=label_src,
+            label_dst=label_dst,
+            label=label,
+            label_mask=label_mask,
+            label_item_global=label_item_global,
+            seed_users=seeds,
+            seed_slots=seed_slots,
+            gt_items=gt_items,
+            gt_count=gt_count,
         )
 
     def epoch_batches(self, shuffle: bool = True):

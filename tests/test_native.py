@@ -1,0 +1,109 @@
+"""Native C++ sampler: validity and parity with the Python samplers."""
+import numpy as np
+import pytest
+
+from laplace_gnn_recommendation_tpu import native
+from laplace_gnn_recommendation_tpu.configs import Config
+from laplace_gnn_recommendation_tpu.data.graph import HostCSR
+from laplace_gnn_recommendation_tpu.data.sampler import SubgraphSampler
+from laplace_gnn_recommendation_tpu.data.synthetic import random_bipartite_edges
+
+pytestmark = pytest.mark.skipif(native.LIB is None, reason="no C++ toolchain")
+
+
+@pytest.fixture(scope="module")
+def csrs():
+    eu, ei = random_bipartite_edges(seed=3, num_users=100, num_items=80, avg_degree=6)
+    return (
+        HostCSR.from_edges(eu, ei, 100, 80),
+        HostCSR.from_edges(ei, eu, 80, 100),
+        set(zip(eu.tolist(), ei.tolist())),
+    )
+
+
+class TestNhop:
+    def test_edges_are_real_and_exclude_seed(self, csrs):
+        ucsr, icsr, real = csrs
+        seeds = np.arange(20)
+        src, dst, off = native.nhop_sample(
+            ucsr.row_ptr, ucsr.cols, icsr.row_ptr, icsr.cols,
+            100, 80, seeds, 3, 64, 42,
+        )
+        assert off[-1] == len(src)
+        for i, seed in enumerate(seeds):
+            s_slice = src[off[i]: off[i + 1]]
+            d_slice = dst[off[i]: off[i + 1]]
+            for s, d in zip(s_slice, d_slice):
+                assert (int(s), int(d)) in real
+                assert int(s) != int(seed)  # seed's direct edges excluded
+
+    def test_deterministic_given_seed(self, csrs):
+        ucsr, icsr, _ = csrs
+        a = native.nhop_sample(
+            ucsr.row_ptr, ucsr.cols, icsr.row_ptr, icsr.cols,
+            100, 80, np.arange(5), 2, 8, 7,
+        )
+        b = native.nhop_sample(
+            ucsr.row_ptr, ucsr.cols, icsr.row_ptr, icsr.cols,
+            100, 80, np.arange(5), 2, 8, 7,
+        )
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+
+    def test_matches_python_when_no_cuts(self, csrs):
+        """With fanout caps larger than any frontier, BFS is deterministic —
+        native and Python must produce identical edge sets."""
+        ucsr, icsr, _ = csrs
+        cfg = Config(batch_size=4, num_neighbors=10_000, n_hop_neighbors=3, k=12)
+        s_py = SubgraphSampler(cfg, ucsr, icsr, train=True, use_native=False, seed=0)
+        for u in range(6):
+            py_src, py_dst = s_py._n_hop_edges(u)
+            nat_src, nat_dst, off = native.nhop_sample(
+                ucsr.row_ptr, ucsr.cols, icsr.row_ptr, icsr.cols,
+                100, 80, np.array([u], np.int32), 3, 10_000, 5,
+            )
+            assert set(zip(py_src.tolist(), py_dst.tolist())) == set(
+                zip(nat_src.tolist(), nat_dst.tolist())
+            )
+
+    def test_buffer_growth(self, csrs):
+        ucsr, icsr, _ = csrs
+        src, dst, off = native.nhop_sample(
+            ucsr.row_ptr, ucsr.cols, icsr.row_ptr, icsr.cols,
+            100, 80, np.arange(30), 3, 64, 1, max_edges_hint=8,
+        )
+        assert len(src) == off[-1] > 8  # grew past the tiny hint
+
+
+class TestFrontier:
+    def test_weights_and_topk(self, csrs):
+        ucsr, icsr, _ = csrs
+        fs, fd, fw = native.pinsage_frontier(
+            ucsr.row_ptr, ucsr.cols, icsr.row_ptr, icsr.cols,
+            np.arange(10), 2, 0.5, 10, 3, 11,
+        )
+        assert (fw > 0).all()
+        for s in range(10):
+            assert (fd == s).sum() <= 3
+        assert not np.any(fs == fd)
+
+    def test_walk_step_valid(self, csrs):
+        ucsr, icsr, real = csrs
+        out = native.walk_step(
+            ucsr.row_ptr, ucsr.cols, icsr.row_ptr, icsr.cols, np.arange(20), 5
+        )
+        assert ((out >= -1) & (out < 80)).all()
+
+
+class TestIntegration:
+    def test_sampler_uses_native_and_batches_valid(self, csrs):
+        ucsr, icsr, real = csrs
+        cfg = Config(batch_size=8, num_neighbors=16, n_hop_neighbors=2, k=6)
+        s = SubgraphSampler(cfg, ucsr, icsr, train=True, seed=3, use_native=True)
+        assert s._native is not None
+        b = s.sample_batch(np.arange(8))
+        em = np.asarray(b.edge_mask)
+        uids = np.asarray(b.user_ids)[np.asarray(b.edge_src)[em]]
+        iids = np.asarray(b.item_ids)[np.asarray(b.edge_dst)[em]]
+        for u, i in zip(uids, iids):
+            assert (int(u), int(i)) in real
