@@ -135,9 +135,13 @@ def run_pipeline(
     val_recall = val_precision = 0.0
     losses: List[float] = [0.0]
 
+    from ..data.prefetch import prefetch
+
     for epoch in range(cfg.epochs):
         losses = []
-        for batch in train_s.epoch_batches(shuffle=True):
+        for batch in prefetch(
+            train_s.epoch_batches(shuffle=True), buffer_size=max(cfg.num_workers, 1)
+        ):
             key, k_step = jax.random.split(key)
             params, bn_state, opt_state, loss = step(
                 params, bn_state, opt_state, batch, k_step
