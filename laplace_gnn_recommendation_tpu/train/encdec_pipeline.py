@@ -44,11 +44,40 @@ from .reporting import (
 )
 
 
-def make_train_step(cfg: Config, data: LinkPredData, tx):
+def make_train_step(cfg: Config, data: LinkPredData, tx, mesh=None):
+    """Fused jitted train step. With a multi-device ``mesh``, the per-user
+    label grid (the decoder's [B, L] batch axis) is constrained onto the
+    ``data`` axis — the DP split of the ranking stack (encoder node slots
+    are shared across the batch and stay replicated)."""
     uf, itf = data.user_features, data.item_features
+
+    batch_constraint = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        if mesh.shape[DATA_AXIS] > 1:
+            batch_constraint = NamedSharding(mesh, P(DATA_AXIS))
+
+    def constrain(batch: SubgraphBatch) -> SubgraphBatch:
+        if batch_constraint is None:
+            return batch
+        import dataclasses as _dc
+
+        grid_fields = (
+            "label_src", "label_dst", "label", "label_mask", "label_item_global",
+        )
+        reps = {
+            f: jax.lax.with_sharding_constraint(getattr(batch, f), batch_constraint)
+            for f in grid_fields
+        }
+        return _dc.replace(batch, **reps)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, bn_state, opt_state, batch: SubgraphBatch, key):
+        batch = constrain(batch)
+
         def loss_fn(p):
             logits, new_bn = sage.forward(
                 p, bn_state, batch, uf, itf, cfg, train=True, rng=key
