@@ -74,10 +74,17 @@ def project(
     item_ids: jnp.ndarray,          # int32 [N] global ids
     item_features: jnp.ndarray,     # int32 [I, F] full table
     item_features_float: Optional[jnp.ndarray] = None,  # [I, D] or None
+    id_rows: Optional[jnp.ndarray] = None,  # [N, H] pre-gathered id rows
 ) -> jnp.ndarray:
-    """Sum of per-feature projections + id embedding (LinearProjector)."""
+    """Sum of per-feature projections + id embedding (LinearProjector).
+
+    ``id_rows`` lets the sparse-embedding training path (see
+    ``train/optim.py``) differentiate w.r.t. just the gathered id rows
+    instead of the full table."""
     feats = item_features[item_ids]
-    out = params["proj"]["id_table"][item_ids]
+    out = (
+        id_rows if id_rows is not None else params["proj"]["id_table"][item_ids]
+    )
     for i, table in enumerate(params["proj"]["tables"]):
         ids = jnp.clip(feats[:, i], 0, table.shape[0] - 1)
         out = out + table[ids]
@@ -126,16 +133,26 @@ def get_repr(
     item_features_float: Optional[jnp.ndarray],
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    id_rows: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Item representations on the innermost dst set (``model.py:30-33``)."""
+    """Item representations on the innermost dst set (``model.py:30-33``).
+
+    ``id_rows`` (aligned with ``blocks[0].src_ids``) drives the sparse-
+    embedding path; every inner block layout is a prefix of the outermost
+    src layout by construction, so slices of ``id_rows`` serve the dst
+    projection too."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    h = project(params, blocks[0].src_ids, item_features, item_features_float)
+    h = project(
+        params, blocks[0].src_ids, item_features, item_features_float, id_rows
+    )
     for p, block in zip(params["convs"], blocks):
         rng, k = jax.random.split(rng)
         h = weighted_sage_conv(p, block, h, train, k)
+    d_last = blocks[-1].dst_ids.shape[0]
     h_dst = project(
-        params, blocks[-1].dst_ids, item_features, item_features_float
+        params, blocks[-1].dst_ids, item_features, item_features_float,
+        id_rows[:d_last] if id_rows is not None else None,
     )
     return h_dst + h
 
@@ -146,9 +163,12 @@ def score_pairs(
     dst_ids: jnp.ndarray,    # int32 [D] global ids of those slots
     head: jnp.ndarray,
     tail: jnp.ndarray,
+    bias_rows: Optional[jnp.ndarray] = None,  # [D] pre-gathered biases
 ) -> jnp.ndarray:
     """u·v + bias_u + bias_v (ItemToItemScorer, ``layers.py:193-203``)."""
     s = jnp.sum(h[head] * h[tail], axis=-1)
+    if bias_rows is not None:
+        return s + bias_rows[head] + bias_rows[tail]
     return s + params["bias"][dst_ids[head]] + params["bias"][dst_ids[tail]]
 
 
@@ -159,12 +179,17 @@ def margin_loss(
     item_features_float: Optional[jnp.ndarray],
     train: bool = True,
     rng: Optional[jax.Array] = None,
+    id_rows: Optional[jnp.ndarray] = None,
+    bias_rows: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Masked mean of (neg − pos + 1)₊ (``model.py:24-28``)."""
-    h = get_repr(params, batch.blocks, item_features, item_features_float, train, rng)
+    h = get_repr(
+        params, batch.blocks, item_features, item_features_float, train, rng,
+        id_rows,
+    )
     dst_ids = batch.blocks[-1].dst_ids
-    pos = score_pairs(params, h, dst_ids, batch.pos_head, batch.pos_tail)
-    neg = score_pairs(params, h, dst_ids, batch.neg_head, batch.neg_tail)
+    pos = score_pairs(params, h, dst_ids, batch.pos_head, batch.pos_tail, bias_rows)
+    neg = score_pairs(params, h, dst_ids, batch.neg_head, batch.neg_tail, bias_rows)
     hinge = jnp.maximum(neg - pos + 1.0, 0.0)
     m = batch.pair_mask.astype(hinge.dtype)
     return jnp.sum(hinge * m) / jnp.maximum(jnp.sum(m), 1.0)

@@ -140,6 +140,8 @@ def run_pipeline(
     log_fn=print,
     randomization: bool = True,
     return_state: bool = False,
+    resume: bool = False,
+    mesh=None,
 ):
     """Full training run — reference ``run_pipeline.py:24-153``."""
     cfg.print()
@@ -157,7 +159,26 @@ def run_pipeline(
     tx = optax.adam(cfg.learning_rate)
     opt_state = tx.init(params)
 
-    step = make_train_step(cfg, data, tx)
+    # true resume (absent in the reference — its checkpoints carry no
+    # optimizer state or epoch, SURVEY §5): pick up params + optimizer +
+    # epoch from the newest checkpoint in model_dir
+    start_epoch = 0
+    if resume:
+        from .checkpoint import load_latest
+
+        template = {
+            "params": params, "bn_state": bn_state, "opt_state": opt_state,
+            "epoch": np.zeros((), np.int64),
+        }
+        state, ver = load_latest(model_dir, template)
+        if ver is not None:
+            params = state["params"]
+            bn_state = state["bn_state"]
+            opt_state = state["opt_state"]
+            start_epoch = int(state["epoch"]) + 1
+            log_fn(f"| Resuming from checkpoint (epoch {start_epoch})...")
+
+    step = make_train_step(cfg, data, tx, mesh=mesh)
     eval_step = make_eval_step(cfg, data)
 
     old_val_precision = -1.0
@@ -166,7 +187,7 @@ def run_pipeline(
 
     from ..data.prefetch import prefetch
 
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         losses = []
         for batch in prefetch(
             train_s.epoch_batches(shuffle=True), buffer_size=max(cfg.num_workers, 1)
@@ -198,7 +219,8 @@ def run_pipeline(
                     log_fn("| Saving Best Generalized Model...")
                     save_checkpoint(
                         os.path.join(model_dir, "model_final.npz"),
-                        {"params": params, "bn_state": bn_state, "opt_state": opt_state},
+                        {"params": params, "bn_state": bn_state,
+                         "opt_state": opt_state, "epoch": np.int64(epoch)},
                     )
                     old_val_precision = -1.0
             report_results(
@@ -212,7 +234,8 @@ def run_pipeline(
         if cfg.save_model and epoch % max(1, int(cfg.epochs * cfg.save_every)) == 0:
             save_checkpoint(
                 os.path.join(model_dir, f"model_{epoch:03d}.npz"),
-                {"params": params, "bn_state": bn_state, "opt_state": opt_state},
+                {"params": params, "bn_state": bn_state,
+                 "opt_state": opt_state, "epoch": np.int64(epoch)},
             )
 
     test_recall, test_precision = test_with_sampler(

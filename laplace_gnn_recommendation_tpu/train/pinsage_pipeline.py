@@ -42,6 +42,10 @@ class PinSAGEConfig:
     lr: float = 3e-5
     k: int = 10
     seed: int = 0
+    sparse_embedding: bool = False
+    """Lazy row-sparse Adam on the id-embedding table + biases (the
+    reference's SparseAdam variant, ``pinsage/model_sparse.py:104-127``) —
+    only the batch's touched rows move through HBM per step."""
 
 
 def embed_all_items(
@@ -141,20 +145,72 @@ def train(
             if data.item_features_float is not None else 0
         ),
     )
-    tx = optax.adam(cfg.lr)
-    opt_state = tx.init(params)
+    if cfg.sparse_embedding:
+        from .optim import init_sparse_adam_state, sparse_rows_adam_update
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, batch, k):
-        def loss_fn(p):
-            return M.margin_loss(
-                p, batch, item_features, item_features_float, train=True, rng=k
+        mask = jax.tree.map(lambda _: True, params)
+        mask["proj"]["id_table"] = False
+        mask["bias"] = False
+        tx = optax.masked(optax.adam(cfg.lr), mask)
+        opt_state = tx.init(params)
+        sparse_state = {
+            "id": init_sparse_adam_state(params["proj"]["id_table"]),
+            "bias": init_sparse_adam_state(params["bias"]),
+        }
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def step_sparse(params, opt_state, sparse_state, batch, k):
+            src = batch.blocks[0].src_ids
+            smask = batch.blocks[0].src_mask
+            dst = batch.blocks[-1].dst_ids
+            dmask = batch.blocks[-1].dst_mask
+            id_rows = params["proj"]["id_table"][src]
+            bias_rows = params["bias"][dst]
+
+            def loss_fn(p, id_rows, bias_rows):
+                return M.margin_loss(
+                    p, batch, item_features, item_features_float,
+                    train=True, rng=k, id_rows=id_rows, bias_rows=bias_rows,
+                )
+
+            loss, (g_dense, g_id, g_bias) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2)
+            )(params, id_rows, bias_rows)
+            updates, opt_state = tx.update(g_dense, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            new_id, s_id = sparse_rows_adam_update(
+                params["proj"]["id_table"], sparse_state["id"],
+                src, smask, g_id, cfg.lr,
             )
+            new_bias, s_bias = sparse_rows_adam_update(
+                params["bias"], sparse_state["bias"], dst, dmask, g_bias, cfg.lr,
+            )
+            params["proj"]["id_table"] = new_id
+            params["bias"] = new_bias
+            return params, opt_state, {"id": s_id, "bias": s_bias}, loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        def step(params, opt_state, batch, k):
+            nonlocal sparse_state
+            params, opt_state, sparse_state, loss = step_sparse(
+                params, opt_state, sparse_state, batch, k
+            )
+            return params, opt_state, loss
+
+    else:
+        tx = optax.adam(cfg.lr)
+        opt_state = tx.init(params)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, batch, k):
+            def loss_fn(p):
+                return M.margin_loss(
+                    p, batch, item_features, item_features_float, train=True, rng=k
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
 
     loss = jnp.zeros(())
     val_hits = 0.0
