@@ -149,7 +149,8 @@ def create_samplers(
         int(adj.user_csr.degrees.max(initial=1)) for adj in data.splits.values()
     )
     budgets = derive_budgets(
-        cfg, max_deg, max(len(m) for m in data.matchers.values())
+        cfg, max_deg, max(len(m) for m in data.matchers.values()),
+        num_users=data.num_users, num_items=data.num_items,
     )
     train_s = SubgraphSampler(
         cfg, data.splits["train"].user_csr, data.splits["train"].item_csr,

@@ -88,9 +88,17 @@ class SamplerBudgets:
     gt_per_user: int
 
 
-def derive_budgets(cfg: Config, max_user_degree: int, num_matchers: int = 1) -> SamplerBudgets:
+def derive_budgets(
+    cfg: Config,
+    max_user_degree: int,
+    num_matchers: int = 1,
+    num_users: Optional[int] = None,
+    num_items: Optional[int] = None,
+) -> SamplerBudgets:
     """Derive exact (non-truncating for typical graphs) pad sizes from config
-    + graph stats; any field can be overridden via config."""
+    + graph stats; any field can be overridden via config. Node-slot budgets
+    clamp at the graph's node counts — a batch can never touch more distinct
+    nodes than exist."""
     d = max(int(max_user_degree), 1)
     pos_cap = max(1, int(np.floor(d * cfg.positive_edges_ratio)))
     neg_cap = max(int(np.ceil(cfg.negative_edges_ratio * pos_cap)), cfg.k - 1)
@@ -107,9 +115,15 @@ def derive_budgets(cfg: Config, max_user_degree: int, num_matchers: int = 1) -> 
     )
     edges = cfg.max_edges_per_batch or b * edges_per_seed
     items_per_seed = min(edges_per_seed + neg_cap + labels, edges_per_seed + labels)
+    user_slots = b * users_per_seed
+    item_slots = b * items_per_seed
+    if num_users is not None:
+        user_slots = min(user_slots, num_users)
+    if num_items is not None:
+        item_slots = min(item_slots, num_items)
     return SamplerBudgets(
-        num_user_slots=b * users_per_seed,
-        num_item_slots=b * items_per_seed,
+        num_user_slots=user_slots,
+        num_item_slots=item_slots,
         num_edges=edges,
         labels_per_user=labels,
         gt_per_user=d,
@@ -157,7 +171,8 @@ class SubgraphSampler:
         self.num_items = user_csr.num_cols
         max_deg = int(user_csr.degrees.max(initial=1))
         self.budgets = budgets or derive_budgets(
-            cfg, max_deg, max(len(self.matchers), 1)
+            cfg, max_deg, max(len(self.matchers), 1),
+            num_users=self.num_users, num_items=self.num_items,
         )
         self.truncations: Dict[str, int] = {"edges": 0, "labels": 0, "nodes": 0}
         # max item id with at least one edge — the reference samples negatives
