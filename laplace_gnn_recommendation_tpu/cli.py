@@ -14,15 +14,7 @@ from __future__ import annotations
 
 import argparse
 
-from .configs import (
-    Config,
-    LightGCNConfig,
-    add_dataclass_args,
-    apply_parsed_args,
-    lightgcn_config,
-    link_pred_config,
-    preprocessing_config,
-)
+from .configs import add_dataclass_args, apply_parsed_args, lightgcn_config, link_pred_config, preprocessing_config
 
 
 def run() -> None:

@@ -12,7 +12,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 from .constants import EDGE_KEY, NODE_ITEM, NODE_USER
 from .types import ArticleColumn, EdgeType, PreprocessingConfig, UserColumn

@@ -9,7 +9,7 @@ popular-items + common-items, with lightgcn and same-location available).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 

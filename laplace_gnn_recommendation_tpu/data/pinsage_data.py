@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,7 @@ import numpy as np
 
 from ..constants import EDGE_KEY
 from .etl import LinkPredArtifacts
-from .graph import HeteroGraph, HostCSR
+from .graph import HostCSR
 
 
 @dataclass

@@ -13,7 +13,7 @@ deduplicated + split (``run_data_splitting.split_data`` equivalent:
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -8,7 +8,7 @@ cannot run in CI; generators reproduce the scale/shape instead).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

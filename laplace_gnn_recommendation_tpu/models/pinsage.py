@@ -19,7 +19,7 @@ TPU-native re-design of reference ``pinsage/layers.py:90-203`` +
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Tuple, Union
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

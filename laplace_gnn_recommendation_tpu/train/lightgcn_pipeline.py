@@ -25,7 +25,7 @@ import dataclasses
 import os
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,10 +36,10 @@ from ..configs import LightGCNConfig
 from ..data.graph import BipartiteGraph
 from ..data.lightgcn_data import EvalSet, LightGCNData
 from ..models.lightgcn import LightGCNParams, bpr_loss, init_lightgcn, lightgcn_forward
-from ..ops.metrics import ndcg_at_k, recall_precision_at_k, topk_hits
+from ..ops.metrics import topk_hits
 from ..ops.sampling import sample_bpr_batch, structured_negative_sampling
 from ..ops.topk import masked_topk
-from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, build_mesh, replicated, row_sharding
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, build_mesh, row_sharding
 from .reporting import Stats
 
 

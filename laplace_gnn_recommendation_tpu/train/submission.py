@@ -47,9 +47,9 @@ def make_predictions(
     for batch in test_sampler.epoch_batches(shuffle=False):
         items = np.asarray(predict(params, bn_state, batch))
         seeds = np.asarray(batch.seed_users)
-        rows_valid = np.asarray(batch.gt_count) > 0
         for row, u in enumerate(seeds):
-            if int(u) not in out and (rows_valid[row] or True):
+            # first write wins; padded last-batch rows repeat the final user
+            if int(u) not in out:
                 out[int(u)] = items[row]
     return out
 

@@ -9,9 +9,9 @@ metadata carries pad sizes explicitly).
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import Enum
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 
 class UserColumn(Enum):
