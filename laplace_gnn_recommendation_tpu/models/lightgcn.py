@@ -61,11 +61,18 @@ def lightgcn_forward(
     reference ``model/lightgcn.py:46-80``.
 
     Dispatches on adjacency representation: :class:`DenseAdjacency` runs the
-    MXU dense path (~28× faster at ML-1M scale), :class:`BipartiteGraph` the
-    segment-sum path for graphs too large to densify.
+    MXU dense path (~28× faster at ML-1M scale), :class:`BlockedGraph` the
+    blocked one-hot-matmul path (3.6× over plain segment-sum, for graphs too
+    large to densify), :class:`BipartiteGraph` the plain segment-sum path.
     """
+    from ..ops.spmm_blocked import BlockedGraph, lightgcn_propagate_blocked
+
     if isinstance(graph, DenseAdjacency):
         users_final, items_final = lightgcn_propagate_dense(
+            graph, params.user_emb, params.item_emb, num_iterations
+        )
+    elif isinstance(graph, BlockedGraph):
+        users_final, items_final = lightgcn_propagate_blocked(
             graph, params.user_emb, params.item_emb, num_iterations
         )
     else:

@@ -75,8 +75,10 @@ class TestDensePath:
         )
         assert stats.loss < 0.69  # below ln 2 start
 
-    def test_budget_zero_disables(self, graph):
+    def test_budget_zero_falls_back_to_blocked(self, graph):
+        from laplace_gnn_recommendation_tpu.ops.spmm_blocked import BlockedGraph
+
         cfg = LightGCNConfig(dense_bytes_budget=0)
         assert isinstance(
-            lightgcn_pipeline.maybe_dense(cfg, graph), BipartiteGraph
+            lightgcn_pipeline.maybe_dense(cfg, graph), BlockedGraph
         )
