@@ -322,7 +322,11 @@ class SubgraphSampler:
             )
         ) if per_user else np.empty(0, np.int64)
 
-        if len(all_users) > bud.num_user_slots or len(all_items) > bud.num_item_slots:
+        nodes_truncated = (
+            len(all_users) > bud.num_user_slots
+            or len(all_items) > bud.num_item_slots
+        )
+        if nodes_truncated:
             self.truncations["nodes"] += 1
             all_users = all_users[: bud.num_user_slots]
             all_items = all_items[: bud.num_item_slots]
@@ -342,11 +346,13 @@ class SubgraphSampler:
             edst_l.append(hop_dst)
         esrc = np.concatenate(esrc_l)
         edst = np.concatenate(edst_l)
-        # drop edges touching truncated nodes
-        keep = np.isin(esrc, all_users) & np.isin(edst, all_items)
-        if not keep.all():
-            self.truncations["edges"] += int((~keep).sum())
-            esrc, edst = esrc[keep], edst[keep]
+        if nodes_truncated:
+            # drop edges touching truncated nodes (membership checks only
+            # needed when the node sets were actually cut)
+            keep = np.isin(esrc, all_users) & np.isin(edst, all_items)
+            if not keep.all():
+                self.truncations["edges"] += int((~keep).sum())
+                esrc, edst = esrc[keep], edst[keep]
         if len(esrc) > bud.num_edges:
             self.truncations["edges"] += len(esrc) - bud.num_edges
             esrc, edst = esrc[: bud.num_edges], edst[: bud.num_edges]
@@ -370,26 +376,29 @@ class SubgraphSampler:
         seeds = np.zeros(b, np.int32)
         seed_slots = np.zeros(b, np.int32)
 
+        # fill the per-user grids, deferring slot lookups so one vectorized
+        # searchsorted covers the whole batch
         for row, (u, positives, sampled_pos, negs, _hs, _hd) in enumerate(per_user):
-            negs = negs[np.isin(negs, all_items)]
+            if nodes_truncated:
+                negs = negs[np.isin(negs, all_items)]
             items = np.concatenate([sampled_pos, negs])
-            labs = np.concatenate(
-                [np.ones(len(sampled_pos)), np.zeros(len(negs))]
-            )
+            n_pos = len(sampled_pos)
             if len(items) > l_max:
                 self.truncations["labels"] += len(items) - l_max
-                items, labs = items[:l_max], labs[:l_max]
+                items = items[:l_max]
+                n_pos = min(n_pos, l_max)
             c = len(items)
-            label_src[row, :c] = uslot(np.full(c, u))
-            label_dst[row, :c] = islot(items)
-            label[row, :c] = labs
+            label[row, :n_pos] = 1.0
             label_mask[row, :c] = True
             label_item_global[row, :c] = items
             g = min(len(positives), bud.gt_per_user)
             gt_items[row, :g] = positives[:g]
             gt_count[row] = g
             seeds[row] = u
-            seed_slots[row] = uslot(np.array([u]))[0]
+
+        seed_slots[:] = uslot(seeds)
+        label_src[:] = np.where(label_mask, seed_slots[:, None], 0)
+        label_dst[:] = np.where(label_mask, islot(label_item_global), 0)
 
         if valid_rows < b:
             label_mask[valid_rows:] = False
