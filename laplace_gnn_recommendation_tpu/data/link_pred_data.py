@@ -37,6 +37,18 @@ class LinkPredData:
     splits: Dict[str, SplitAdjacency]       # cumulative: train/val/test
     matchers: Dict[str, List[Matcher]]      # for val/test
     graph: HeteroGraph
+    user_features_float: Optional[jnp.ndarray] = None  # f32 [U, Dfu]
+    item_features_float: Optional[jnp.ndarray] = None  # f32 [I, Dfi] (CLIP)
+
+    def float_dims(self) -> Dict[str, int]:
+        from ..constants import NODE_ITEM, NODE_USER
+
+        return {
+            NODE_USER: 0 if self.user_features_float is None
+            else int(self.user_features_float.shape[1]),
+            NODE_ITEM: 0 if self.item_features_float is None
+            else int(self.item_features_float.shape[1]),
+        }
 
 
 def create_link_pred_data(
@@ -82,6 +94,8 @@ def create_link_pred_data(
             lightgcn_artifact=lightgcn_artifact,
         )
 
+    uff = g.node_features_float.get(EDGE_KEY.src)
+    iff = g.node_features_float.get(EDGE_KEY.dst)
     return LinkPredData(
         num_users=num_users,
         num_items=num_items,
@@ -90,6 +104,8 @@ def create_link_pred_data(
         splits=splits,
         matchers=matchers,
         graph=g,
+        user_features_float=None if uff is None else jnp.asarray(uff, jnp.float32),
+        item_features_float=None if iff is None else jnp.asarray(iff, jnp.float32),
     )
 
 
@@ -127,6 +143,8 @@ def create_link_pred_data_from_artifacts(
         )
         for name in ("val", "test")
     }
+    uff = a.graph.node_features_float.get(EDGE_KEY.src)
+    iff = a.graph.node_features_float.get(EDGE_KEY.dst)
     data = LinkPredData(
         num_users=num_users,
         num_items=num_items,
@@ -135,6 +153,8 @@ def create_link_pred_data_from_artifacts(
         splits=splits,
         matchers=matchers,
         graph=a.graph,
+        user_features_float=None if uff is None else jnp.asarray(uff, jnp.float32),
+        item_features_float=None if iff is None else jnp.asarray(iff, jnp.float32),
     )
     return data, a
 

@@ -72,9 +72,15 @@ def _linear_init(key, fan_in, fan_out, bias=True):
 
 
 def init_sage_params(
-    key: jax.Array, cfg: Config, feature_info: Dict[str, FeatureInfo]
+    key: jax.Array, cfg: Config, feature_info: Dict[str, FeatureInfo],
+    float_dims: Optional[Dict[str, int]] = None,
 ) -> Tuple[dict, dict]:
-    """Returns (params, bn_state) pytrees."""
+    """Returns (params, bn_state) pytrees.
+
+    ``float_dims[node_type]`` declares non-categorical feature widths (e.g.
+    the 512-d CLIP image/text embeddings H&M preprocessing concatenates,
+    reference ``run_preprocessing_fashion.py:129-162,201-204``) — they are
+    appended to the encoder input after the categorical embeddings."""
     keys = iter(jax.random.split(key, 1024))
 
     params: dict = {"embeddings": {}, "convs": [], "decoder": [], "bn": {}}
@@ -85,6 +91,8 @@ def init_sage_params(
             tables.append(jax.random.normal(next(keys), (c + 1, d)))
         params["embeddings"][node_type] = tables
         in_dim[node_type] = int(sum(info.embedding_size))
+        if float_dims:
+            in_dim[node_type] += int(float_dims.get(node_type, 0))
 
     # conv stack: hidden × (num_gnn_layers-1) then output layer
     dims = (
@@ -229,6 +237,8 @@ def encode(
     cfg: Config,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    user_features_float: Optional[jnp.ndarray] = None,  # f32 [num_users, Dfu]
+    item_features_float: Optional[jnp.ndarray] = None,  # f32 [num_items, Dfi]
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Run embeddings + hetero SAGE stack. Returns (z_user, z_item, bn_state)."""
     if rng is None:
@@ -239,6 +249,14 @@ def encode(
     x_item = _embed_features(
         params["embeddings"][NODE_ITEM], item_features[batch.item_ids]
     )
+    if user_features_float is not None:
+        x_user = jnp.concatenate(
+            [x_user, user_features_float[batch.user_ids]], axis=-1
+        )
+    if item_features_float is not None:
+        x_item = jnp.concatenate(
+            [x_item, item_features_float[batch.item_ids]], axis=-1
+        )
     x_user = x_user * batch.user_mask[:, None]
     x_item = x_item * batch.item_mask[:, None]
 
@@ -319,6 +337,7 @@ def forward(
     params, bn_state, batch: SubgraphBatch,
     user_features, item_features, cfg: Config,
     train: bool = False, rng: Optional[jax.Array] = None,
+    user_features_float=None, item_features_float=None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Full model: logits [B, L] + new bn state (reference
     ``Encoder_Decoder_Model.forward``, ``model/encoder_decoder.py:135-153``)."""
@@ -326,7 +345,8 @@ def forward(
         rng = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(rng)
     z_u, z_i, bn_state = encode(
-        params, bn_state, batch, user_features, item_features, cfg, train, k1
+        params, bn_state, batch, user_features, item_features, cfg, train, k1,
+        user_features_float, item_features_float,
     )
     logits = decode(params, z_u, z_i, batch, cfg, train, k2)
     return logits, bn_state
@@ -335,11 +355,14 @@ def forward(
 def infer(
     params, bn_state, batch: SubgraphBatch,
     user_features, item_features, cfg: Config,
+    user_features_float=None, item_features_float=None,
 ) -> jnp.ndarray:
     """Eval-mode per-user padded score matrix [B, L]; invalid slots filled
     with -2⁵⁰ (reference ``model/encoder_decoder.py:155-164``)."""
     logits, _ = forward(
-        params, bn_state, batch, user_features, item_features, cfg, train=False
+        params, bn_state, batch, user_features, item_features, cfg, train=False,
+        user_features_float=user_features_float,
+        item_features_float=item_features_float,
     )
     return jnp.where(batch.label_mask, logits, INFER_PAD)
 

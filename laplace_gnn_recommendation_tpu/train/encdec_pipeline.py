@@ -50,6 +50,7 @@ def make_train_step(cfg: Config, data: LinkPredData, tx, mesh=None):
     ``data`` axis — the DP split of the ranking stack (encoder node slots
     are shared across the batch and stay replicated)."""
     uf, itf = data.user_features, data.item_features
+    uff, iff = data.user_features_float, data.item_features_float
 
     batch_constraint = None
     if mesh is not None:
@@ -80,7 +81,8 @@ def make_train_step(cfg: Config, data: LinkPredData, tx, mesh=None):
 
         def loss_fn(p):
             logits, new_bn = sage.forward(
-                p, bn_state, batch, uf, itf, cfg, train=True, rng=key
+                p, bn_state, batch, uf, itf, cfg, train=True, rng=key,
+                user_features_float=uff, item_features_float=iff,
             )
             return sage.bce_loss(logits, batch), new_bn
 
@@ -94,10 +96,14 @@ def make_train_step(cfg: Config, data: LinkPredData, tx, mesh=None):
 
 def make_eval_step(cfg: Config, data: LinkPredData):
     uf, itf = data.user_features, data.item_features
+    uff, iff = data.user_features_float, data.item_features_float
 
     @jax.jit
     def eval_step(params, bn_state, batch: SubgraphBatch):
-        scores = sage.infer(params, bn_state, batch, uf, itf, cfg)
+        scores = sage.infer(
+            params, bn_state, batch, uf, itf, cfg,
+            user_features_float=uff, item_features_float=iff,
+        )
         # per-user top-k over candidate label edges → their global item ids
         k = min(cfg.k, scores.shape[1])
         _, pos = jax.lax.top_k(scores, k)
@@ -155,7 +161,9 @@ def run_pipeline(
 
     feature_info = sage.get_feature_info(data.graph)
     key, k_init = jax.random.split(key)
-    params, bn_state = sage.init_sage_params(k_init, cfg, feature_info)
+    params, bn_state = sage.init_sage_params(
+        k_init, cfg, feature_info, float_dims=data.float_dims()
+    )
     tx = optax.adam(cfg.learning_rate)
     opt_state = tx.init(params)
 

@@ -30,10 +30,14 @@ def make_predictions(
     ``run_submission.py:59-66`` keeps only ``edge_label == 0``).
     """
     uf, itf = data.user_features, data.item_features
+    uff, iff = data.user_features_float, data.item_features_float
 
     @jax.jit
     def predict(params, bn_state, batch):
-        scores = sage.infer(params, bn_state, batch, uf, itf, cfg)
+        scores = sage.infer(
+            params, bn_state, batch, uf, itf, cfg,
+            user_features_float=uff, item_features_float=iff,
+        )
         scores = jnp.where(batch.label == 0, scores, sage.INFER_PAD)
         k = min(cfg.k, scores.shape[1])
         _, pos = jax.lax.top_k(scores, k)
@@ -98,7 +102,7 @@ def submission_pipeline(
         print("| Loading Model...")
         feature_info = sage.get_feature_info(data.graph)
         template_params, template_bn = sage.init_sage_params(
-            jax.random.PRNGKey(0), cfg, feature_info
+            jax.random.PRNGKey(0), cfg, feature_info, float_dims=data.float_dims()
         )
         state, ver = load_latest(
             model_dir, {"params": template_params, "bn_state": template_bn,
