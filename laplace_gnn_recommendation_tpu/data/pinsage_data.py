@@ -285,15 +285,17 @@ class PinSAGESampler:
             edge_src[:e] = [slot[int(x)] for x in fs]
             edge_dst[:e] = [slot[int(x)] for x in fd]
             edge_w[:e] = fw
+            # numpy leaves: upload happens at the jit boundary (eager
+            # device puts serialize the sampling thread on remote tunnels)
             blocks_rev.append(
                 PinSAGEBlock(
-                    src_ids=jnp.asarray(src_ids.astype(np.int32)),
-                    dst_ids=jnp.asarray(cur_ids.astype(np.int32)),
-                    src_mask=jnp.asarray(src_mask),
-                    dst_mask=jnp.asarray(cur_mask),
-                    edge_src=jnp.asarray(edge_src),
-                    edge_dst=jnp.asarray(edge_dst),
-                    edge_w=jnp.asarray(edge_w),
+                    src_ids=src_ids.astype(np.int32),
+                    dst_ids=cur_ids.astype(np.int32).copy(),
+                    src_mask=src_mask,
+                    dst_mask=cur_mask.copy(),
+                    edge_src=edge_src,
+                    edge_dst=edge_dst,
+                    edge_w=edge_w,
                 )
             )
             cur_ids, cur_mask = src_ids, src_mask
@@ -329,9 +331,9 @@ class PinSAGESampler:
             mask[i] = True
         return PinSAGEBatch(
             blocks=blocks,
-            pos_head=jnp.asarray(pos_head),
-            pos_tail=jnp.asarray(pos_tail),
-            neg_head=jnp.asarray(neg_head),
-            neg_tail=jnp.asarray(neg_tail),
-            pair_mask=jnp.asarray(mask),
+            pos_head=pos_head,
+            pos_tail=pos_tail,
+            neg_head=neg_head,
+            neg_tail=neg_tail,
+            pair_mask=mask,
         )

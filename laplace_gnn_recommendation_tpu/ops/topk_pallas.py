@@ -81,6 +81,34 @@ def _kernel(u_ref, it_ref, vals_ref, idx_ref, acc_vals, acc_idx, *, k, tile):
         idx_ref[:] = acc_idx[:]
 
 
+def _kernel_masked(
+    u_ref, it_ref, excl_ref, vals_ref, idx_ref, acc_vals, acc_idx, *, k, tile
+):
+    """Same fold, with a per-tile exclusion mask (1 = excluded)."""
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _():
+        acc_vals[:] = jnp.full_like(acc_vals, NEG_INF)
+        acc_idx[:] = jnp.zeros_like(acc_idx)
+
+    scores = jax.lax.dot_general(
+        u_ref[:], it_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.where(excl_ref[:] != 0, NEG_INF, scores)
+    vals, idx = _fold_topk(acc_vals[:], acc_idx[:], scores, step * tile, k)
+    acc_vals[:] = vals
+    acc_idx[:] = idx
+
+    @pl.when(step == nsteps - 1)
+    def _():
+        vals_ref[:] = acc_vals[:]
+        idx_ref[:] = acc_idx[:]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
 def streaming_mips_topk(
     user_emb: jnp.ndarray,   # [B, D]
@@ -123,4 +151,64 @@ def streaming_mips_topk(
         ],
         interpret=interpret,
     )(user_emb.astype(jnp.float32), item_emb.astype(jnp.float32))
+    return vals, idx
+
+
+def exclusion_mask(
+    num_items: int, exclude_items: jnp.ndarray, exclude_count: jnp.ndarray
+) -> jnp.ndarray:
+    """Dense int8 [B, I] exclusion mask from padded per-user exclusion lists
+    (one scatter; built once per eval batch, then streamed in tiles)."""
+    b, x = exclude_items.shape
+    valid = jnp.arange(x)[None, :] < exclude_count[:, None]
+    cols = jnp.where(valid, exclude_items, num_items)
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, x))
+    mask = jnp.zeros((b, num_items), jnp.int8)
+    return mask.at[rows, cols].set(1, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def streaming_mips_topk_masked(
+    user_emb: jnp.ndarray,   # [B, D]
+    item_emb: jnp.ndarray,   # [I, D]
+    excl_mask: jnp.ndarray,  # int8 [B, I] (1 = excluded; see exclusion_mask)
+    k: int,
+    tile: int = 512,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming top-k with exclusion masking — the serving/eval form
+    (train-item filtering, ``utils/metrics_lightgcn.py:132-142`` semantics
+    with -inf instead of the -2¹⁰ fill; identical top-k for real scores)."""
+    b, d = user_emb.shape
+    i = item_emb.shape[0]
+    assert i % tile == 0 and excl_mask.shape == (b, i)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    vals, idx = pl.pallas_call(
+        functools.partial(_kernel_masked, k=k, tile=tile),
+        grid=(i // tile,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda s: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tile), lambda s: (0, s), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, k), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        user_emb.astype(jnp.float32),
+        item_emb.astype(jnp.float32),
+        excl_mask,
+    )
     return vals, idx

@@ -44,3 +44,39 @@ class TestStreamingTopK:
                 jnp.asarray(u), jnp.asarray(items), 1, tile=256
             )
             assert int(idx[0, 0]) == pos
+
+
+class TestMaskedStreamingTopK:
+    def test_matches_masked_xla(self):
+        import jax.numpy as jnp
+        from laplace_gnn_recommendation_tpu.ops.topk_pallas import (
+            exclusion_mask,
+            streaming_mips_topk_masked,
+        )
+
+        rng = np.random.default_rng(4)
+        u = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+        it = jnp.asarray(rng.normal(size=(1024, 32)).astype(np.float32))
+        excl = jnp.asarray(rng.integers(0, 1024, (8, 7)).astype(np.int32))
+        cnt = jnp.asarray(np.full(8, 7, np.int32))
+        v1, i1 = mips_topk(u, it, 5, excl, cnt)
+        mask = exclusion_mask(1024, excl, cnt)
+        v2, i2 = streaming_mips_topk_masked(u, it, mask, 5, tile=256)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_excluded_never_returned(self):
+        import jax.numpy as jnp
+        from laplace_gnn_recommendation_tpu.ops.topk_pallas import (
+            exclusion_mask,
+            streaming_mips_topk_masked,
+        )
+
+        u = jnp.ones((2, 8))
+        it = jnp.ones((256, 8))
+        it = it.at[7].set(100.0).at[200].set(100.0)  # clear winners
+        excl = jnp.asarray([[7, -1], [200, -1]], jnp.int32)
+        cnt = jnp.asarray([1, 1], jnp.int32)
+        mask = exclusion_mask(256, excl, cnt)
+        _, idx = streaming_mips_topk_masked(u, it, mask, 2, tile=128)
+        assert 7 not in np.asarray(idx[0])
+        assert 200 not in np.asarray(idx[1])
