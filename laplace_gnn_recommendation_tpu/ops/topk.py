@@ -77,6 +77,43 @@ def mips_topk(
     return masked_topk(scores, k, exclude_items, exclude_count)
 
 
+STREAMING_MIN_ITEMS = 16384
+
+
+def auto_mips_topk(
+    user_emb: jnp.ndarray,
+    item_emb: jnp.ndarray,
+    k: int,
+    exclude_items: Optional[jnp.ndarray] = None,
+    exclude_count: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Retrieval entry point: picks the Pallas streaming kernel on TPU for
+    large catalogs (XLA's wide top_k lowers to a full sort — ~40× slower at
+    104k items), the materializing XLA path otherwise."""
+    num_items = item_emb.shape[0]
+    tile = 512
+    if (
+        jax.default_backend() == "tpu"
+        and num_items >= STREAMING_MIN_ITEMS
+        and num_items % tile == 0
+    ):
+        from .topk_pallas import (
+            exclusion_mask,
+            streaming_mips_topk,
+            streaming_mips_topk_masked,
+        )
+
+        if exclude_items is None:
+            return streaming_mips_topk(user_emb, item_emb, k, tile=tile)
+        if exclude_count is None:
+            exclude_count = jnp.full(
+                (user_emb.shape[0],), exclude_items.shape[1], jnp.int32
+            )
+        mask = exclusion_mask(num_items, exclude_items, exclude_count)
+        return streaming_mips_topk_masked(user_emb, item_emb, mask, k, tile=tile)
+    return mips_topk(user_emb, item_emb, k, exclude_items, exclude_count)
+
+
 def sharded_mips_topk(
     mesh: Mesh,
     user_emb: jnp.ndarray,   # [B, D] replicated over model axis

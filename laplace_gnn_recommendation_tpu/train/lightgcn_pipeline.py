@@ -270,8 +270,9 @@ def export_artifacts(
 
     @partial(jax.jit, static_argnames=("k",))
     def topk_chunk(uvec, item_emb, ex, exc, k):
-        scores = jnp.dot(uvec, item_emb.T, preferred_element_type=jnp.float32)
-        _, idx = masked_topk(scores, k, ex, exc)
+        from ..ops.topk import auto_mips_topk
+
+        _, idx = auto_mips_topk(uvec, item_emb, k, ex, exc)
         return idx
 
     for s in range(0, data.num_users, chunk):
