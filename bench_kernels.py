@@ -1,0 +1,124 @@
+"""Kernel-level speed-of-light report.
+
+Times each hot kernel at ML-1M/H&M-representative shapes and reports
+achieved bandwidth/FLOPs as a fraction of the chip's roofline
+(``utils/profiling.Roofline``). Prints one JSON line summarizing the
+fraction-of-peak for the binding resource of each kernel, plus a human
+table on stderr.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def timeit(f, n=10, loops=4):
+    """Min over several loop-amortized runs. Loop amortization factors out
+    the remote-tunnel round-trip latency (tens of ms per blocking call on a
+    degraded relay); the min over loops drops stall outliers."""
+    import jax
+
+    r = f()
+    jax.block_until_ready(r)
+    best = float("inf")
+    for _ in range(loops):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = f()
+        jax.block_until_ready(r)
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from laplace_gnn_recommendation_tpu.data.graph import BipartiteGraph
+    from laplace_gnn_recommendation_tpu.data.synthetic import movielens_like_edges
+    from laplace_gnn_recommendation_tpu.ops.spmm import propagate_bipartite
+    from laplace_gnn_recommendation_tpu.ops.spmm_blocked import (
+        BlockedGraph,
+        propagate_blocked,
+    )
+    from laplace_gnn_recommendation_tpu.ops.spmm_dense import (
+        DenseAdjacency,
+        propagate_dense,
+    )
+    from laplace_gnn_recommendation_tpu.ops.topk_pallas import streaming_mips_topk
+    from laplace_gnn_recommendation_tpu.utils.profiling import Roofline
+
+    # Measured practical ceilings for this chip (see round-1 profiling):
+    peak_bytes = 260e9
+    peak_flops = 394e12
+
+    eu, ei, U, I = movielens_like_edges(seed=0, scale=1.0)
+    g = BipartiteGraph.from_edges(eu, ei, U, I)
+    E = g.num_edges
+    D = 32
+    rng = np.random.default_rng(0)
+    xu = jnp.asarray(rng.normal(size=(U, D)).astype(np.float32))
+    xi = jnp.asarray(rng.normal(size=(I, D)).astype(np.float32))
+
+    rows = []
+
+    dense = DenseAdjacency.from_graph(g)
+    f = jax.jit(lambda: propagate_dense(dense, xu, xi))
+    t = timeit(f)
+    rows.append(Roofline(
+        name="dense_propagate", seconds=t,
+        flops=2 * 2 * U * I * D,                      # both directions
+        bytes_moved=2 * U * I * 2,                    # A and A^T bf16 reads
+        peak_flops=peak_flops, peak_bytes=peak_bytes,
+    ))
+
+    bg = BlockedGraph.from_host_edges(eu, ei, U, I)
+    f = jax.jit(lambda: propagate_blocked(bg, xu, xi))
+    t = timeit(f)
+    c1 = bg.to_user.src.size
+    c2 = bg.to_item.src.size
+    rows.append(Roofline(
+        name="blocked_segsum", seconds=t,
+        flops=2 * (c1 + c2) * 8 * D,                  # onehot contractions
+        bytes_moved=(c1 + c2) * (D * 4 + 12),         # msg gather + plan arrays
+        peak_flops=peak_flops, peak_bytes=peak_bytes,
+    ))
+
+    f = jax.jit(lambda: propagate_bipartite(g, xu, xi))
+    t = timeit(f)
+    rows.append(Roofline(
+        name="plain_segsum", seconds=t,
+        flops=2 * 2 * E * D,
+        bytes_moved=2 * E * (2 * D * 4 + 8),
+        peak_flops=peak_flops, peak_bytes=peak_bytes,
+    ))
+
+    B, Dq, Iq = 256, 64, 104448
+    uq = jnp.asarray(rng.normal(size=(B, Dq)).astype(np.float32))
+    iq = jnp.asarray(rng.normal(size=(Iq, Dq)).astype(np.float32))
+    f = lambda: streaming_mips_topk(uq, iq, 12, tile=512)
+    t = timeit(f)
+    rows.append(Roofline(
+        name="streaming_topk", seconds=t,
+        flops=2 * B * Iq * Dq,
+        bytes_moved=Iq * Dq * 4,                      # item table streamed once
+        peak_flops=peak_flops, peak_bytes=peak_bytes,
+    ))
+
+    summary = {}
+    for r in rows:
+        print(r.report(), file=sys.stderr)
+        summary[r.name] = round(r.fraction_of_peak, 4)
+    worst = min(summary.values())
+    print(json.dumps({
+        "metric": "kernel_fraction_of_peak_min",
+        "value": worst,
+        "unit": "fraction",
+        "vs_baseline": None,
+        "kernels": summary,
+    }))
+
+
+if __name__ == "__main__":
+    main()
