@@ -49,6 +49,25 @@ def load_checkpoint(path: str, template: Any) -> Any:
     return _unflatten_into(template, flat)
 
 
+def save_checkpoint_orbax(path: str, state: Any) -> None:
+    """Sharded-array-aware checkpoint via orbax (survives row-sharded tables
+    bigger than one host; directory-based). The npz path stays the default
+    for single-host runs — orbax checkpoints are directories, selected
+    explicitly by the caller."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str, template: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), template)
+
+
 def load_latest(directory: str, template: Any, prefix: str = "model_") -> Tuple[Any, Optional[int]]:
     """Pick the checkpoint with the highest version number in its filename —
     reference ``run_submission.py:14-21``. ``model_final`` sorts above any
