@@ -201,10 +201,25 @@ preprocessing_config = PreprocessingConfig(
 _CLI_SKIP_TYPES = (list, dict, MeshConfig)
 
 
+def _optional_field_type(f: dataclasses.Field):
+    """Element type of an ``Optional[...]`` annotation (string-form safe)."""
+    t = str(f.type)
+    if "int" in t:
+        return int
+    if "float" in t:
+        return float
+    return str
+
+
 def add_dataclass_args(parser: argparse.ArgumentParser, instance) -> None:
-    """Auto-create one ``--flag`` per simple dataclass field. Fields whose
-    flag is already registered (explicitly, or by an earlier config sharing
-    the field name) are skipped — first registration wins."""
+    """Auto-create one ``--flag`` per simple dataclass field.
+
+    Flags use ``argparse.SUPPRESS`` defaults so the namespace only contains
+    values the user actually passed — ``apply_parsed_args`` must be able to
+    tell user input from another config's defaults (two configs share field
+    names like ``epochs``; first registration wins on the flag itself, but
+    each config keeps its own dataclass default).
+    """
     existing = {
         s for a in parser._actions for s in a.option_strings  # noqa: SLF001
     }
@@ -215,16 +230,27 @@ def add_dataclass_args(parser: argparse.ArgumentParser, instance) -> None:
         if f"--{f.name}" in existing:
             continue
         if isinstance(value, bool):
-            parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"), default=value)
+            parser.add_argument(
+                f"--{f.name}",
+                type=lambda s: s.lower() in ("1", "true", "yes"),
+                default=argparse.SUPPRESS,
+            )
         elif value is None:
-            parser.add_argument(f"--{f.name}", default=None)
+            parser.add_argument(
+                f"--{f.name}",
+                type=_optional_field_type(f),
+                default=argparse.SUPPRESS,
+            )
         else:
-            parser.add_argument(f"--{f.name}", type=type(value), default=value)
+            parser.add_argument(
+                f"--{f.name}", type=type(value), default=argparse.SUPPRESS
+            )
 
 
 def apply_parsed_args(instance, args: argparse.Namespace):
-    """Write parsed CLI values back onto the dataclass instance in place."""
+    """Write user-passed CLI values back onto the dataclass instance in
+    place (flags the user did not pass are absent from the namespace)."""
     for f in dataclasses.fields(instance):
-        if hasattr(args, f.name) and getattr(args, f.name) is not None:
+        if hasattr(args, f.name):
             setattr(instance, f.name, getattr(args, f.name))
     return instance

@@ -104,6 +104,14 @@ class BipartiteGraph:
             uu[:e] = user_idx[order]
             ii[:e] = item_idx[order]
             ww[:e] = w[order]
+            if e > 0:
+                # pad segment ids repeat the LAST real ids so the sequence
+                # stays non-decreasing — segment_sum is called with
+                # indices_are_sorted=True, and a 0-padded tail after the
+                # largest id would break that promise (weights stay 0, so
+                # the pads still contribute nothing)
+                uu[e:] = uu[e - 1]
+                ii[e:] = ii[e - 1]
             return uu, ii, ww
 
         um_order = np.lexsort((item_idx, user_idx))

@@ -52,7 +52,14 @@ def query_n_neighbors(
     start_neighbor: int = 0,
     no_return: bool = False,
 ) -> str:
-    """apoc.path.subgraphAll n-hop query — reference ``neo4j_database.py:26-57``."""
+    """apoc.path.subgraphAll n-hop query — reference ``neo4j_database.py:26-57``.
+
+    The query body already RETURNs the decoded relationship array; the
+    reference's ``no_return=False`` branch appends a *second* RETURN clause
+    (invalid Cypher — its only exercised call site passes no_return=True).
+    Here ``no_return`` only controls the trailing space, and the query is
+    valid either way.
+    """
     rel = split_relationship_filter(split_type)
     q = (
         f"MATCH (p:{node_type} {{_id: '{node_id}'}}) "
@@ -62,7 +69,7 @@ def query_n_neighbors(
         " RETURN [r in relationships | [LABELS(STARTNODE(r))[0],TYPE(r),"
         "LABELS(ENDNODE(r))[0], STARTNODE(r)._id,ENDNODE(r)._id]] as arraysomething"
     )
-    return q + (" " if no_return else " RETURN relationships")
+    return q + (" " if no_return else "")
 
 
 def query_all_nodes(node_type: str) -> str:

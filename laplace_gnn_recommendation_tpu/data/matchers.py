@@ -62,15 +62,19 @@ class UsersWithCommonItemsMatcher(Matcher):
         articles = self.users.neighbors(user_id)
         if len(articles) == 0:
             return np.empty(0, np.int64)
-        common_users = np.concatenate(
-            [self.items.neighbors(int(a)) for a in articles]
-        )
-        if len(common_users) == 0:
-            return np.empty(0, np.int64)
-        candidates = np.concatenate(
-            [self.users.neighbors(int(u)) for u in common_users]
-        )
-        return candidates[: self.k]
+        # early-break once k candidates are collected: identical to the
+        # reference's concat-then-[:k] (same traversal order) but O(k·deg)
+        # instead of O(Σ deg²) — one popular article otherwise pulls every
+        # co-purchaser's full history into memory per call
+        out: list = []
+        for a in articles:
+            for u in self.items.neighbors(int(a)):
+                items = self.users.neighbors(int(u))
+                take = min(len(items), self.k - len(out))
+                out.extend(int(x) for x in items[:take])
+                if len(out) >= self.k:
+                    return np.array(out[: self.k], np.int64)
+        return np.array(out, np.int64)
 
 
 class UsersSameLocationMatcher(Matcher):

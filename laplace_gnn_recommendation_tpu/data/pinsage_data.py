@@ -101,8 +101,10 @@ def build_pinsage_data(a: LinkPredArtifacts) -> PinSAGEData:
     num_items = g.num_nodes[EDGE_KEY.dst]
     tr = a.train_mask
 
-    # last train interaction per user, in chronological order
-    latest = np.zeros(num_users, np.int32)
+    # last train interaction per user, in chronological order; users with
+    # no train history keep -1 and are excluded from latest-item retrieval
+    # eval (the reference asserts every user has one, evaluation.py:39)
+    latest = np.full(num_users, -1, np.int32)
     for u, i in zip(eu[tr], ei[tr]):
         latest[u] = i
 

@@ -114,7 +114,7 @@ def derive_budgets(
         d, 4 * cfg.num_neighbors
     )
     edges = cfg.max_edges_per_batch or b * edges_per_seed
-    items_per_seed = min(edges_per_seed + neg_cap + labels, edges_per_seed + labels)
+    items_per_seed = edges_per_seed + labels
     user_slots = b * users_per_seed
     item_slots = b * items_per_seed
     if num_users is not None:
@@ -380,7 +380,16 @@ class SubgraphSampler:
         # searchsorted covers the whole batch
         for row, (u, positives, sampled_pos, negs, _hs, _hd) in enumerate(per_user):
             if nodes_truncated:
+                # a truncated node set invalidates any label whose endpoint
+                # was dropped — sampled positives and the seed user included
+                # (otherwise searchsorted would map them to a wrong slot
+                # while the label stays set)
                 negs = negs[np.isin(negs, all_items)]
+                sampled_pos = sampled_pos[np.isin(sampled_pos, all_items)]
+                if u not in all_users:
+                    gt_count[row] = 0
+                    seeds[row] = u
+                    continue
             items = np.concatenate([sampled_pos, negs])
             n_pos = len(sampled_pos)
             if len(items) > l_max:

@@ -48,7 +48,9 @@ class DenseAdjacency:
         i = np.asarray(g.edge_item[: g.num_edges])
         w = np.asarray(g.edge_w[: g.num_edges])
         a = np.zeros((g.num_users, g.num_items), np.float32)
-        a[u, i] = w
+        # accumulate (not assign): duplicate (user, item) edges must weigh
+        # the same as in the segment-sum/blocked paths
+        np.add.at(a, (u, i), w)
         return DenseAdjacency(
             a=jnp.asarray(a, jnp.bfloat16),
             a_t=jnp.asarray(a.T.copy(), jnp.bfloat16),

@@ -92,6 +92,10 @@ class ShardedBipartiteGraph:
                 out_dst[p_i, :n] = dst[sl] - p_i * rows_per_shard  # local rows
                 out_src[p_i, :n] = src[sl]
                 out_w[p_i, :n] = w[sl]
+                if n > 0:
+                    # keep pad segment ids non-decreasing for the
+                    # indices_are_sorted=True promise (weight 0 → no-op)
+                    out_dst[p_i, n:] = out_dst[p_i, n - 1]
                 start += n
             return out_dst, out_src, out_w
 

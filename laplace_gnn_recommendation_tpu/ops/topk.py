@@ -43,11 +43,13 @@ def apply_exclusion(
     """
     b, num_items = scores.shape
     x = exclude_items.shape[1]
+    # pad slots are negative (-1 convention of padded_user_items) and/or
+    # beyond exclude_count; route both out of bounds so the scatter drops
+    # them — negative ids must never wrap to the last column
+    valid = exclude_items >= 0
     if exclude_count is not None:
-        valid = jnp.arange(x)[None, :] < exclude_count[:, None]
-        cols = jnp.where(valid, exclude_items, num_items)  # OOB → dropped
-    else:
-        cols = exclude_items
+        valid &= jnp.arange(x)[None, :] < exclude_count[:, None]
+    cols = jnp.where(valid, exclude_items, num_items)
     rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, x))
     return scores.at[rows, cols].set(fill, mode="drop")
 
@@ -105,10 +107,6 @@ def auto_mips_topk(
 
         if exclude_items is None:
             return streaming_mips_topk(user_emb, item_emb, k, tile=tile)
-        if exclude_count is None:
-            exclude_count = jnp.full(
-                (user_emb.shape[0],), exclude_items.shape[1], jnp.int32
-            )
         mask = exclusion_mask(num_items, exclude_items, exclude_count)
         return streaming_mips_topk_masked(user_emb, item_emb, mask, k, tile=tile)
     return mips_topk(user_emb, item_emb, k, exclude_items, exclude_count)

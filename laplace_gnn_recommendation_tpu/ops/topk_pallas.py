@@ -155,12 +155,18 @@ def streaming_mips_topk(
 
 
 def exclusion_mask(
-    num_items: int, exclude_items: jnp.ndarray, exclude_count: jnp.ndarray
+    num_items: int,
+    exclude_items: jnp.ndarray,
+    exclude_count: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Dense int8 [B, I] exclusion mask from padded per-user exclusion lists
-    (one scatter; built once per eval batch, then streamed in tiles)."""
+    (one scatter; built once per eval batch, then streamed in tiles).
+    Negative entries (the -1 pad convention) and slots beyond
+    ``exclude_count`` are ignored."""
     b, x = exclude_items.shape
-    valid = jnp.arange(x)[None, :] < exclude_count[:, None]
+    valid = exclude_items >= 0
+    if exclude_count is not None:
+        valid &= jnp.arange(x)[None, :] < exclude_count[:, None]
     cols = jnp.where(valid, exclude_items, num_items)
     rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, x))
     mask = jnp.zeros((b, num_items), jnp.int8)

@@ -87,7 +87,12 @@ def hits_at_k(
     gt = data.val_items if split == "val" else data.test_items
     h = jnp.asarray(h_item)
     hits = []
-    users = [u for u in range(data.num_users) if len(gt[u]) > 0]
+    # only users the recommender can serve: ground truth present AND a
+    # latest train interaction to query with
+    users = [
+        u for u in range(data.num_users)
+        if len(gt[u]) > 0 and data.latest_item_per_user[u] >= 0
+    ]
     max_deg = max((data.user_csr.degree(u) for u in users), default=1)
 
     for s in range(0, len(users), batch_size):
