@@ -189,3 +189,43 @@ class TestMatchers:
         # user 2 buys {4,5}; users sharing: item4→{1,2}, item5→{2};
         # candidates = items of [1,2,2] in order = [2,3,4, 4,5, 4,5]
         np.testing.assert_array_equal(got, [2, 3, 4, 4, 5, 4, 5])
+
+
+class TestTruncation:
+    def test_truncated_nodes_invalidate_labels(self, graph):
+        """With node budgets forced tiny, labels whose endpoints were
+        dropped must be masked out — never remapped to wrong slots."""
+        from laplace_gnn_recommendation_tpu.data.sampler import SamplerBudgets
+
+        _, user_csr, item_csr = graph
+        cfg = make_cfg(batch_size=3)
+        budgets = SamplerBudgets(
+            num_user_slots=2, num_item_slots=3, num_edges=16,
+            labels_per_user=8, gt_per_user=6,
+        )
+        s = SubgraphSampler(
+            cfg, user_csr, item_csr, train=True, randomization=False,
+            budgets=budgets,
+        )
+        b = s.sample_batch(np.array([0, 1, 2]))
+        assert s.truncations["nodes"] > 0
+        lm = np.asarray(b.label_mask)
+        # every surviving label edge maps to real, in-set endpoints
+        uids = np.asarray(b.user_ids)
+        iids = np.asarray(b.item_ids)
+        umask = np.asarray(b.user_mask)
+        imask = np.asarray(b.item_mask)
+        for row in range(3):
+            for col in np.flatnonzero(lm[row]):
+                sslot = int(np.asarray(b.label_src)[row, col])
+                dslot = int(np.asarray(b.label_dst)[row, col])
+                assert umask[sslot] and imask[dslot]
+                # a positive label's item must be the item it claims to be
+                assert iids[dslot] == int(np.asarray(b.label_item_global)[row, col])
+        # rows whose seed user fell outside the truncated user set are
+        # fully masked (gt_count 0 and no labels)
+        kept_users = set(uids[umask].tolist())
+        for row, u in enumerate([0, 1, 2]):
+            if u not in kept_users:
+                assert not lm[row].any()
+                assert int(np.asarray(b.gt_count)[row]) == 0
