@@ -1,0 +1,83 @@
+"""End-to-end MovieLens acceptance — the TPU build's version of the
+reference's real gate (``tests/test_acceptance_movielens.py:53-60``).
+
+The reference downloads ml-1m, preprocesses 1,000 transactions, trains the
+encoder-decoder 100 epochs at seed 42 and asserts metric floors
+(loss < 0.5, recall@12 > 0.0015, precision@12 > 0.01). This container has no
+network egress, so the download step is replaced by a synthetic ml-1m-format
+dataset of the same shape; the training config matches the reference's
+(k=12, batch 24, 64 neighbors, 3 hops, hidden 128/64). Our hit test uses
+the intended semantics (candidate items vs ground truth — see
+``train/encdec_pipeline.py`` docstring), so the floors here are strictly
+harder than the reference's and are passed with wide margin.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from laplace_gnn_recommendation_tpu.configs import Config, preprocessing_config
+from laplace_gnn_recommendation_tpu.data import preprocess_movielens
+from laplace_gnn_recommendation_tpu.data.link_pred_data import (
+    create_link_pred_data_from_artifacts,
+)
+from laplace_gnn_recommendation_tpu.train.encdec_pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def ml_artifacts(tmp_path_factory):
+    """Synthetic ml-1m-format raw data (~1,000 ratings), preprocessed with
+    the shipped preprocessing config capped at data_size=1000 (the
+    reference acceptance setting, its ``tests/test_acceptance_movielens.py:
+    10-14``)."""
+    raw = tmp_path_factory.mktemp("ml_raw")
+    rng = np.random.default_rng(42)
+    # density ~7% — a dense-random BCE target needs negatives that are
+    # mostly true negatives, like the real ml-1m 1k-transaction slice
+    n_users, n_movies = 50, 300
+    users = [
+        f"{i}::{'FM'[i % 2]}::{18 + (i % 5) * 10}::{i % 20}::5511{i % 10}"
+        for i in range(1, n_users + 1)
+    ]
+    (raw / "users.dat").write_text("\n".join(users) + "\n")
+    genres = ["Comedy", "Drama", "Action", "Thriller", "Romance"]
+    movies = [
+        f"{i}::Movie {i} (19{90 + i % 10})::{genres[i % 5]}|{genres[(i + 2) % 5]}"
+        for i in range(1, n_movies + 1)
+    ]
+    (raw / "movies.dat").write_text("\n".join(movies) + "\n")
+    rows, ts = [], 956700000
+    per_user = 1000 // n_users
+    for u in range(1, n_users + 1):
+        for m in rng.choice(np.arange(1, n_movies + 1), per_user, replace=False):
+            ts += 60
+            rows.append(f"{u}::{m}::{rng.integers(1, 6)}::{ts}")
+    (raw / "ratings.dat").write_text("\n".join(rows) + "\n")
+
+    art = str(tmp_path_factory.mktemp("ml_derived"))
+    import dataclasses
+
+    cfg = dataclasses.replace(preprocessing_config, data_size=1000)
+    preprocess_movielens.preprocess(cfg, str(raw), art)
+    return art
+
+
+class TestAcceptanceMovieLens:
+    def test_pipeline(self, ml_artifacts):
+        # reference config: 100 epochs at seed 42, matching the
+        # reference acceptance run exactly
+        cfg = Config(
+            epochs=100, k=12, num_gnn_layers=2, num_linear_layers=2,
+            hidden_layer_size=128, encoder_layer_output_size=64,
+            conv_agg_type="add", heterogeneous_prop_agg_type="sum",
+            learning_rate=0.01, batch_size=24, num_neighbors=64,
+            n_hop_neighbors=3, candidate_pool_size=20,
+            positive_edges_ratio=0.5, negative_edges_ratio=3.0,
+            eval_every=4, seed=42,
+        )
+        data, _ = create_link_pred_data_from_artifacts(ml_artifacts, cfg)
+        stats = run_pipeline(cfg, data, log_fn=lambda *_: None)
+        # reference floors (tests/test_acceptance_movielens.py:58-60)
+        assert stats.loss < 0.5
+        assert stats.recall_test > 0.0015
+        assert stats.precision_test > 0.01
