@@ -12,10 +12,14 @@ The explicit multi-chip propagation path for graphs too large to densify
   device runs its local sorted segment-sum.
 
 Communication per step = one all-gather of the source table per direction —
-O(N·D) over ICI, amortized across all K diffusion iterations' gathers being
-local afterwards. This is the standard row-parallel SpMM recipe; the
-alternative (all-to-all of frontier rows only) wins when degree ≪ N and is
-the planned refinement.
+O(N·D) over ICI. The alternative (all-to-all of only the frontier rows each
+shard's edges reference) was analyzed and rejected for this workload shape:
+with E/p edges per shard drawing uniformly-ish from N source rows, the
+expected distinct-row frontier is N·(1−exp(−E/(p·N))) — at H&M scale
+(30M edges, 1.37M users, p=8) that is ≈0.93·N, so all-to-all would save
+<10% of the all-gather volume while adding index-shuffle complexity. The
+frontier variant only wins for graphs with strong partition locality
+(degree ≪ N/p), which bipartite recommendation graphs do not have.
 
 Edge partitions are padded to equal length per shard (weight-0 pads), so
 the shard_map body is shape-uniform.
