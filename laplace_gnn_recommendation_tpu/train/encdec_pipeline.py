@@ -195,6 +195,8 @@ def run_pipeline(
 
     from ..data.prefetch import prefetch
 
+    last_good = None  # (params, bn_state, opt_state) snapshot for NaN rollback
+
     for epoch in range(start_epoch, cfg.epochs):
         losses = []
         for batch in prefetch(
@@ -205,6 +207,27 @@ def run_pipeline(
                 params, bn_state, opt_state, batch, k_step
             )
             losses.append(float(loss))
+        # failure detection (SURVEY §5: absent in the reference — crashes
+        # kill its runs): a non-finite epoch rolls back to the last good
+        # epoch-end state instead of poisoning the tables
+        if not np.isfinite(np.mean(losses)):
+            if last_good is not None:
+                log_fn(
+                    f"TRAIN | epoch: {epoch} | non-finite loss — rolling back "
+                    "to last good epoch state"
+                )
+                # hand out copies: the next epoch's step donates its inputs,
+                # which would delete the snapshot itself
+                params, bn_state, opt_state = jax.tree.map(jnp.copy, last_good)
+                continue
+            raise FloatingPointError(
+                f"non-finite loss in epoch {epoch} with no prior good state"
+            )
+        # device-side copies: the train step donates its inputs, so holding
+        # the live arrays would alias buffers the next epoch overwrites
+        last_good = jax.tree.map(
+            jnp.copy, (params, bn_state, opt_state)
+        )
         log_fn(f"TRAIN | epoch: {epoch} | loss: {np.mean(losses):.4f}")
         report_results(
             ContinousStatsTrain(type="train", loss=float(np.mean(losses)), epoch=epoch),

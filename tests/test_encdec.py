@@ -155,3 +155,38 @@ class TestCheckpoint:
         restored, ver = load_latest(str(tmp_path), params)
         assert ver == 7
         assert float(jax.tree.leaves(restored)[0].ravel()[0]) == 1.0
+
+
+class TestFailureDetection:
+    def test_nan_epoch_rolls_back(self, setup, monkeypatch):
+        """A poisoned epoch must restore the last good state, not propagate
+        NaNs into the tables."""
+        g, _, data = setup
+        cfg = make_cfg(epochs=3, p_dropout_features=0.0, learning_rate=0.01)
+
+        from laplace_gnn_recommendation_tpu.train import encdec_pipeline as ep
+
+        real_make = ep.make_train_step
+        call_count = {"n": 0}
+
+        def poisoned_make(cfg_, data_, tx, mesh=None):
+            real_step = real_make(cfg_, data_, tx, mesh)
+
+            def step(params, bn_state, opt_state, batch, key):
+                p, b, o, loss = real_step(params, bn_state, opt_state, batch, key)
+                call_count["n"] += 1
+                # poison every step of epoch 2 (steps 4..) — first two
+                # epochs (3 steps each at batch 8 over ~24 users) stay clean
+                if call_count["n"] > 2 * max(1, 60 // cfg_.batch_size):
+                    import jax.numpy as jnp
+
+                    loss = loss * jnp.nan
+                return p, b, o, loss
+
+            return step
+
+        monkeypatch.setattr(ep, "make_train_step", poisoned_make)
+        logs = []
+        stats = ep.run_pipeline(cfg, data, log_fn=logs.append)
+        assert any("rolling back" in l for l in logs)
+        assert np.isfinite(stats.recall_test)
