@@ -46,6 +46,10 @@ def main():
         DenseAdjacency,
         propagate_dense,
     )
+    from laplace_gnn_recommendation_tpu.ops.spmm_pallas import (
+        PallasGraph,
+        propagate_pallas,
+    )
     from laplace_gnn_recommendation_tpu.ops.topk_pallas import streaming_mips_topk
     from laplace_gnn_recommendation_tpu.utils.profiling import Roofline
 
@@ -91,6 +95,32 @@ def main():
         name="plain_segsum", seconds=t,
         flops=2 * 2 * E * D,
         bytes_moved=2 * E * (2 * D * 4 + 8),
+        peak_flops=peak_flops, peak_bytes=peak_bytes,
+    ))
+
+    pg = PallasGraph.from_host_edges(eu, ei, U, I)
+    f = jax.jit(lambda: propagate_pallas(pg, xu, xi))
+    t = timeit(f)
+    e_pal = pg.to_user.src.size + pg.to_item.src.size
+    rows.append(Roofline(
+        name="pallas_segsum", seconds=t,
+        flops=2 * e_pal * 128 * D,                    # in-kernel onehot MXU
+        bytes_moved=e_pal * (3 * D * 4 + 12),         # gather w+r, tile read
+        peak_flops=peak_flops, peak_bytes=peak_bytes,
+    ))
+
+    # The binding resource of every sparse path: the XLA row gather runs at
+    # a fixed per-row rate (~300M rows/s on this chip) independent of index
+    # locality and of row width ≤256B. blocked_segsum sits on this floor.
+    idx = jnp.asarray(
+        np.random.default_rng(1).integers(0, I, E).astype(np.int32)
+    )
+    f = jax.jit(lambda: xi[idx])
+    t = timeit(f)
+    rows.append(Roofline(
+        name="row_gather_floor", seconds=t,
+        flops=0,
+        bytes_moved=2 * E * D * 4,
         peak_flops=peak_flops, peak_bytes=peak_bytes,
     ))
 

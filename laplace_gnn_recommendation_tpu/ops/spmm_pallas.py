@@ -1,0 +1,303 @@
+"""Pallas row-blocked sorted-segment-sum SpMM (the big-graph hot kernel).
+
+Third implementation tier of the LightGCN propagation contraction
+(reference ``model/lightgcn.py:85-87``), above ``ops/spmm.py`` (plain XLA
+segment-sum, ~12 GB/s effective) and ``ops/spmm_blocked.py`` (one-hot-matmul
+chunks, 3.6×). Those two pay for either a serialized scatter-add or a
+materialized ``[C, R_c, D]`` partials tensor plus a residual scatter. This
+kernel removes both:
+
+* Edges are destination-sorted and cut into fixed ``[E]``-edge tiles, each
+  tile owned by one ``R``-row output block (tiles of a block are
+  consecutive — a scalar-prefetched ``block_id[t]`` drives the output
+  BlockSpec index map).
+* TPU grid steps run sequentially and Pallas only writes an output block
+  back to HBM when its block index *changes*, so the ``[R, D]`` accumulator
+  lives in VMEM across all tiles of a block: zero scatter traffic, one
+  stream over the pre-gathered messages, one write per output block.
+* Within a tile the scatter-into-block is a one-hot MXU contraction
+  ``onehot[R, E] @ msgs[E, D]`` — R=128 keeps the overcompute under the
+  f32 roofline crossover, so the kernel stays DMA-bound.
+
+The contraction is linear in the gathered table, and the bipartite graph's
+two directions are exact transposes, so the backward pass reuses the
+opposite-direction plan (``_propagate_vjp``) instead of differentiating
+through the kernel.
+
+Measured result (v5e-lite, H&M-shape 7.3M edges, D=32): 2.1–3.1× over the
+plain XLA segment-sum, but 0.7× of ``spmm_blocked`` — and profiling shows
+why: **every sparse path here is bound by the XLA row-gather**, which runs
+at a fixed ~300M rows/s regardless of index locality (measured identical
+for random, span-sorted and globally-sorted indices) and regardless of row
+width up to 256B. The blocked XLA path fuses that gather straight into its
+batched one-hot contraction, while ``pallas_call`` forces the gathered
+messages to materialize in HBM and be re-read — one extra round-trip the
+kernel's zero-scatter-traffic accumulator cannot win back. In-kernel VMEM
+gathers would remove the materialization, but Mosaic's ``dynamic_gather``
+is single-vreg only ("Multiple source vregs along gather dimension").
+Verdict: ``spmm_blocked`` sits on the gather floor and stays the default
+big-graph path; this kernel is kept as the Pallas reference for the
+revisiting-accumulator pattern and for when Mosaic grows a multi-vreg
+gather. The dense MXU path (``spmm_dense``) bypasses per-edge gathers
+entirely and wins whenever the dense adjacency fits the bytes budget.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..data.graph import BipartiteGraph
+
+
+@dataclass
+class PallasSegmentPlan:
+    """Tiled layout of one destination-sorted edge direction.
+
+    Every output row-block owns ≥1 tile (empty blocks get one all-pad tile)
+    so each block is visited and zeroed exactly once.
+    """
+
+    src: jnp.ndarray        # int32 [T, E] gather ids (pad → 0)
+    w: jnp.ndarray          # f32   [T, E] weights (pad → 0)
+    local_row: jnp.ndarray  # int32 [T, 1, E] dst − block_id·R (pad → 0);
+                            # the middle singleton satisfies Mosaic's
+                            # (sublane, lane) block-divisibility rule
+    block_id: jnp.ndarray   # int32 [T] output row-block per tile (non-decr.)
+    first: jnp.ndarray      # int32 [T] 1 ⇔ first tile of its block
+    num_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
+    rows_per_block: int = dataclasses.field(metadata=dict(static=True), default=128)
+    edges_per_tile: int = dataclasses.field(metadata=dict(static=True), default=512)
+
+    @staticmethod
+    def from_edges(
+        dst_sorted: np.ndarray,
+        src: np.ndarray,
+        w: np.ndarray,
+        num_rows: int,
+        rows_per_block: int = 128,
+        edges_per_tile: int = 512,
+    ) -> "PallasSegmentPlan":
+        dst_sorted = np.asarray(dst_sorted, np.int64)
+        src = np.asarray(src, np.int64)
+        w = np.asarray(w, np.float64)
+        r, e_t = rows_per_block, edges_per_tile
+        num_blocks = -(-max(num_rows, 1) // r)
+        # per-block contiguous edge ranges (dst-sorted ⇒ searchsorted)
+        bounds = np.searchsorted(dst_sorted, np.arange(num_blocks + 1) * r)
+        tiles_per_block = np.maximum(1, -(-(bounds[1:] - bounds[:-1]) // e_t))
+        t_total = int(tiles_per_block.sum())
+        p_src = np.zeros((t_total, e_t), np.int32)
+        p_w = np.zeros((t_total, e_t), np.float32)
+        p_local = np.zeros((t_total, e_t), np.int32)
+        p_bid = np.zeros(t_total, np.int32)
+        p_first = np.zeros(t_total, np.int32)
+        t = 0
+        for b in range(num_blocks):
+            s, end = int(bounds[b]), int(bounds[b + 1])
+            p_first[t] = 1
+            for off in range(0, max(end - s, 1), e_t):
+                lo = s + off
+                hi = min(lo + e_t, end)
+                n = max(hi - lo, 0)
+                if n:
+                    p_src[t, :n] = src[lo:hi]
+                    p_w[t, :n] = w[lo:hi]
+                    p_local[t, :n] = dst_sorted[lo:hi] - b * r
+                p_bid[t] = b
+                t += 1
+        assert t == t_total
+        return PallasSegmentPlan(
+            src=jnp.asarray(p_src),
+            w=jnp.asarray(p_w),
+            local_row=jnp.asarray(p_local[:, None, :]),
+            block_id=jnp.asarray(p_bid),
+            first=jnp.asarray(p_first),
+            num_rows=num_rows,
+            rows_per_block=r,
+            edges_per_tile=e_t,
+        )
+
+
+jax.tree_util.register_dataclass(PallasSegmentPlan)
+
+
+def _segsum_kernel(bid_ref, first_ref, msgs_ref, local_ref, out_ref, *, r):
+    t = pl.program_id(0)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (r, local_ref.shape[-1]), 0)
+        == local_ref[0]
+    ).astype(jnp.float32)
+    contrib = jax.lax.dot_general(
+        onehot, msgs_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # one-hot rows make each output element a plain f32 sum, but the MXU
+        # defaults to bf16 passes — HIGHEST keeps the gathered messages exact
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(first_ref[t] == 0)
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_segment_sum(
+    plan: PallasSegmentPlan,
+    table: jnp.ndarray,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Σ_{e: dst(e)=row} w_e · table[src(e)] for every row — [num_rows, D].
+
+    The per-edge gather runs as one fused XLA gather feeding the kernel's
+    message tiles; the scatter side is entirely in-kernel (VMEM-resident
+    accumulator, written once per block).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    t, e_t = plan.src.shape
+    r = plan.rows_per_block
+    d = table.shape[-1]
+    num_blocks = -(-max(plan.num_rows, 1) // r)
+
+    msgs = (plan.w[..., None] * table[plan.src]).astype(jnp.float32)  # [T,E,D]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, e_t, d), lambda i, bid, first: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e_t), lambda i, bid, first: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, d), lambda i, bid, first: (bid[i], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_segsum_kernel, r=r),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_blocks * r, d), jnp.float32),
+        interpret=interpret,
+    )(plan.block_id, plan.first, msgs, plan.local_row)
+    return out[: plan.num_rows]
+
+
+@dataclass
+class PallasGraph:
+    """Both diffusion directions as Pallas tile plans (each direction's plan
+    is the transpose of the other — reused by the custom VJP)."""
+
+    to_user: PallasSegmentPlan   # dst=user, src=item
+    to_item: PallasSegmentPlan   # dst=item, src=user
+
+    @staticmethod
+    def from_graph(
+        g: BipartiteGraph, rows_per_block: int = 128, edges_per_tile: int = 512
+    ) -> "PallasGraph":
+        e = g.num_edges
+        return PallasGraph(
+            to_user=PallasSegmentPlan.from_edges(
+                np.asarray(g.edge_user[:e]), np.asarray(g.edge_item[:e]),
+                np.asarray(g.edge_w[:e]), g.num_users,
+                rows_per_block, edges_per_tile,
+            ),
+            to_item=PallasSegmentPlan.from_edges(
+                np.asarray(g.edge_item_im[:e]), np.asarray(g.edge_user_im[:e]),
+                np.asarray(g.edge_w_im[:e]), g.num_items,
+                rows_per_block, edges_per_tile,
+            ),
+        )
+
+    @staticmethod
+    def from_host_edges(
+        user_idx: np.ndarray,
+        item_idx: np.ndarray,
+        num_users: int,
+        num_items: int,
+        rows_per_block: int = 128,
+        edges_per_tile: int = 512,
+    ) -> "PallasGraph":
+        """Build directly from host edge arrays (no device download)."""
+        user_idx = np.asarray(user_idx, np.int64)
+        item_idx = np.asarray(item_idx, np.int64)
+        du = np.bincount(user_idx, minlength=num_users)
+        di = np.bincount(item_idx, minlength=num_items)
+        w = 1.0 / np.sqrt(np.maximum(du[user_idx] * di[item_idx], 1.0))
+        um = np.lexsort((item_idx, user_idx))
+        im = np.lexsort((user_idx, item_idx))
+        return PallasGraph(
+            to_user=PallasSegmentPlan.from_edges(
+                user_idx[um], item_idx[um], w[um], num_users,
+                rows_per_block, edges_per_tile,
+            ),
+            to_item=PallasSegmentPlan.from_edges(
+                item_idx[im], user_idx[im], w[im], num_items,
+                rows_per_block, edges_per_tile,
+            ),
+        )
+
+
+jax.tree_util.register_dataclass(PallasGraph)
+
+
+def _zero_cotangent(x):
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def propagate_pallas(
+    pg: PallasGraph, user_emb: jnp.ndarray, item_emb: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in for ``spmm.propagate_bipartite`` on the Pallas tile layout."""
+    return (
+        pallas_segment_sum(pg.to_user, item_emb),
+        pallas_segment_sum(pg.to_item, user_emb),
+    )
+
+
+def _propagate_fwd(pg, user_emb, item_emb):
+    return propagate_pallas(pg, user_emb, item_emb), pg
+
+
+def _propagate_vjp(pg, g):
+    # nu = A·item, ni = Aᵀ·user ⇒ ḡ_user = A·ḡ_ni, ḡ_item = Aᵀ·ḡ_nu:
+    # the transpose of each direction IS the other direction's plan.
+    g_nu, g_ni = g
+    g_user = pallas_segment_sum(pg.to_user, g_ni)
+    g_item = pallas_segment_sum(pg.to_item, g_nu)
+    return (jax.tree.map(_zero_cotangent, pg), g_user, g_item)
+
+
+propagate_pallas.defvjp(_propagate_fwd, _propagate_vjp)
+
+
+def lightgcn_propagate_pallas(
+    pg: PallasGraph,
+    user_emb0: jnp.ndarray,
+    item_emb0: jnp.ndarray,
+    num_iterations: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """K-iteration multi-scale mean (contract of ``spmm.lightgcn_propagate``)."""
+    acc_u, acc_i = user_emb0, item_emb0
+    eu, ei = user_emb0, item_emb0
+    for _ in range(num_iterations):
+        eu, ei = propagate_pallas(pg, eu, ei)
+        acc_u = acc_u + eu
+        acc_i = acc_i + ei
+    scale = 1.0 / (num_iterations + 1)
+    return acc_u * scale, acc_i * scale
