@@ -39,6 +39,9 @@ class LinkPredData:
     graph: HeteroGraph
     user_features_float: Optional[jnp.ndarray] = None  # f32 [U, Dfu]
     item_features_float: Optional[jnp.ndarray] = None  # f32 [I, Dfi] (CLIP)
+    item_extra_ids: Optional[jnp.ndarray] = None  # int32 [I] colour group/item
+    num_extra: int = 0                            # distinct colour groups
+    extra_features: Optional[jnp.ndarray] = None  # int32 [num_extra, F_e]
 
     def float_dims(self) -> Dict[str, int]:
         from ..constants import NODE_ITEM, NODE_USER
@@ -96,6 +99,7 @@ def create_link_pred_data(
 
     uff = g.node_features_float.get(EDGE_KEY.src)
     iff = g.node_features_float.get(EDGE_KEY.dst)
+    extra_ids, num_extra, extra_feats = _extract_extra(g, num_items)
     return LinkPredData(
         num_users=num_users,
         num_items=num_items,
@@ -106,6 +110,34 @@ def create_link_pred_data(
         graph=g,
         user_features_float=None if uff is None else jnp.asarray(uff, jnp.float32),
         item_features_float=None if iff is None else jnp.asarray(iff, jnp.float32),
+        item_extra_ids=extra_ids,
+        num_extra=num_extra,
+        extra_features=extra_feats,
+    )
+
+
+def _extract_extra(g: HeteroGraph, num_items: int):
+    """Optional ``item —has_color→ colour_group`` edges → per-item map.
+
+    The extra edge list (reference ``run_preprocessing_fashion.py:86-112``)
+    carries exactly one colour-group per item, so it collapses into an
+    [num_items] lookup the encoder reads directly (no sampling needed —
+    the colour-group node type is tiny and joins every batch whole)."""
+    from ..constants import EDGE_KEY_EXTRA, NODE_EXTRA
+
+    if EDGE_KEY_EXTRA not in g.edges:
+        return None, 0, None
+    src, dst = g.edges[EDGE_KEY_EXTRA]
+    m = np.zeros(num_items, np.int32)
+    m[np.asarray(src, np.int64)] = np.asarray(dst, np.int32)
+    num_extra = g.num_nodes.get(
+        EDGE_KEY_EXTRA.dst, int(np.max(dst, initial=0)) + 1
+    )
+    ef = g.node_features.get(NODE_EXTRA)
+    return (
+        jnp.asarray(m),
+        int(num_extra),
+        None if ef is None else jnp.asarray(ef.astype(np.int32)),
     )
 
 

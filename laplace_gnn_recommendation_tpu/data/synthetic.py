@@ -75,17 +75,30 @@ def random_hetero_graph(
     num_user_features: int = 2,
     num_item_features: int = 2,
     feature_cardinality: int = 8,
+    num_extra: int = 0,
 ) -> HeteroGraph:
     """Random hetero graph with categorical features (the generic analogue of
-    ``tests/data_generator.py:169-191``)."""
+    ``tests/data_generator.py:169-191``). ``num_extra > 0`` adds the optional
+    colour-group node type with one ``has_color`` edge per item (reference
+    ``run_preprocessing_fashion.py:86-112``)."""
     rng = np.random.default_rng(seed)
     eu, ei = random_bipartite_edges(seed, num_users, num_items, avg_degree)
     uf = rng.integers(0, feature_cardinality, (num_users, num_user_features)).astype(np.int32)
     itf = rng.integers(0, feature_cardinality, (num_items, num_item_features)).astype(np.int32)
+    node_features = {EDGE_KEY.src: uf, EDGE_KEY.dst: itf}
+    edges = {EDGE_KEY: (eu, ei)}
+    num_nodes = {EDGE_KEY.src: num_users, EDGE_KEY.dst: num_items}
+    if num_extra > 0:
+        from ..constants import EDGE_KEY_EXTRA, NODE_EXTRA
+
+        extra_of_item = rng.integers(0, num_extra, num_items).astype(np.int64)
+        node_features[NODE_EXTRA] = np.arange(num_extra, dtype=np.int32)[:, None]
+        edges[EDGE_KEY_EXTRA] = (
+            np.arange(num_items, dtype=np.int64), extra_of_item
+        )
+        num_nodes[NODE_EXTRA] = num_extra
     return HeteroGraph(
-        node_features={EDGE_KEY.src: uf, EDGE_KEY.dst: itf},
-        edges={EDGE_KEY: (eu, ei)},
-        num_nodes={EDGE_KEY.src: num_users, EDGE_KEY.dst: num_items},
+        node_features=node_features, edges=edges, num_nodes=num_nodes,
     )
 
 

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import Config, embedding_size_for_cardinality
-from ..constants import NODE_ITEM, NODE_USER
+from ..constants import NODE_EXTRA, NODE_ITEM, NODE_USER
 from ..data.graph import HeteroGraph
 from ..data.sampler import SubgraphBatch
 from ..types import FeatureInfo
@@ -74,13 +74,22 @@ def _linear_init(key, fan_in, fan_out, bias=True):
 def init_sage_params(
     key: jax.Array, cfg: Config, feature_info: Dict[str, FeatureInfo],
     float_dims: Optional[Dict[str, int]] = None,
+    num_extra: int = 0,
 ) -> Tuple[dict, dict]:
     """Returns (params, bn_state) pytrees.
 
     ``float_dims[node_type]`` declares non-categorical feature widths (e.g.
     the 512-d CLIP image/text embeddings H&M preprocessing concatenates,
     reference ``run_preprocessing_fashion.py:129-162,201-204``) — they are
-    appended to the encoder input after the categorical embeddings."""
+    appended to the encoder input after the categorical embeddings.
+
+    ``num_extra > 0`` enables the optional third node type (colour group,
+    reference ``utils/constants.py:12-21`` / ``run_preprocessing_fashion.py:
+    86-112``): an identity embedding for the ``num_extra`` colour-group
+    nodes plus per-layer ``item↔extra`` SAGE convs along the ``has_color``
+    edges. Item outputs then combine the two incoming edge types with the
+    ``heterogeneous_prop_agg_type`` — the to_hetero multi-relation
+    aggregation the two-type default never exercises."""
     keys = iter(jax.random.split(key, 1024))
 
     params: dict = {"embeddings": {}, "convs": [], "decoder": [], "bn": {}}
@@ -93,6 +102,14 @@ def init_sage_params(
         in_dim[node_type] = int(sum(info.embedding_size))
         if float_dims:
             in_dim[node_type] += int(float_dims.get(node_type, 0))
+    if num_extra > 0 and NODE_EXTRA not in feature_info:
+        # graphs without explicit colour-group features get an identity
+        # embedding (node id as the single categorical column)
+        d_e = embedding_size_for_cardinality(num_extra)
+        params["embeddings"][NODE_EXTRA] = [
+            jax.random.normal(next(keys), (num_extra, d_e))
+        ]
+        in_dim[NODE_EXTRA] = d_e
 
     # conv stack: hidden × (num_gnn_layers-1) then output layer
     dims = (
@@ -100,20 +117,23 @@ def init_sage_params(
         + [cfg.encoder_layer_output_size]
     )
     src_dims = dict(in_dim)
+    conv_dirs = {
+        "item_to_user": (NODE_ITEM, NODE_USER),
+        "user_to_item": (NODE_USER, NODE_ITEM),
+    }
+    if num_extra > 0:
+        conv_dirs["extra_to_item"] = (NODE_EXTRA, NODE_ITEM)
+        conv_dirs["item_to_extra"] = (NODE_ITEM, NODE_EXTRA)
     for out_dim in dims:
         layer = {}
-        # one conv per edge direction: item→user ("buys" reversed? keep
-        # explicit names): messages flow src→dst along each typed direction.
-        for name, (src, dst) in {
-            "item_to_user": (NODE_ITEM, NODE_USER),
-            "user_to_item": (NODE_USER, NODE_ITEM),
-        }.items():
+        # one conv per typed edge direction: messages flow src→dst.
+        for name, (src, dst) in conv_dirs.items():
             layer[name] = {
                 "lin_l": _linear_init(next(keys), src_dims[src], out_dim, bias=True),
                 "lin_r": _linear_init(next(keys), src_dims[dst], out_dim, bias=False),
             }
         params["convs"].append(layer)
-        src_dims = {NODE_USER: out_dim, NODE_ITEM: out_dim}
+        src_dims = {t: out_dim for t in src_dims}
 
     d_out = cfg.encoder_layer_output_size
     if cfg.batch_norm:
@@ -239,10 +259,22 @@ def encode(
     rng: Optional[jax.Array] = None,
     user_features_float: Optional[jnp.ndarray] = None,  # f32 [num_users, Dfu]
     item_features_float: Optional[jnp.ndarray] = None,  # f32 [num_items, Dfi]
+    item_extra_ids: Optional[jnp.ndarray] = None,       # int32 [num_items]
+    extra_features: Optional[jnp.ndarray] = None,       # int32 [num_extra, F_e]
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
-    """Run embeddings + hetero SAGE stack. Returns (z_user, z_item, bn_state)."""
+    """Run embeddings + hetero SAGE stack. Returns (z_user, z_item, bn_state).
+
+    ``item_extra_ids`` maps every global item to its colour-group node (the
+    ``has_color`` edge list is exactly one edge per item, reference
+    ``run_preprocessing_fashion.py:86-112``). When given — and the params
+    were built with ``num_extra > 0`` — all colour-group nodes join the
+    batch (the type is tiny, so no sampling is needed) and items aggregate
+    over both incoming edge types."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    extra_active = (
+        item_extra_ids is not None and NODE_EXTRA in params["embeddings"]
+    )
     x_user = _embed_features(
         params["embeddings"][NODE_USER], user_features[batch.user_ids]
     )
@@ -260,6 +292,19 @@ def encode(
     x_user = x_user * batch.user_mask[:, None]
     x_item = x_item * batch.item_mask[:, None]
 
+    x_extra = None
+    e_of_item = None
+    if extra_active:
+        if extra_features is None:
+            # identity feature: each colour-group node embeds its own id
+            ne = params["embeddings"][NODE_EXTRA][0].shape[0]
+            extra_features = jnp.arange(ne, dtype=jnp.int32)[:, None]
+        ne = extra_features.shape[0]
+        x_extra = _embed_features(
+            params["embeddings"][NODE_EXTRA], extra_features
+        )
+        e_of_item = jnp.clip(item_extra_ids[batch.item_ids], 0, ne - 1)
+
     num_layers = len(params["convs"])
     nu = x_user.shape[0]
     ni = x_item.shape[0]
@@ -268,9 +313,11 @@ def encode(
     for li, layer in enumerate(params["convs"]):
         last = li == num_layers - 1
         if not last:
-            rng, k1, k2 = jax.random.split(rng, 3)
+            rng, k1, k2, k3 = jax.random.split(rng, 4)
             x_user = _dropout(k1, x_user, cfg.p_dropout_features, train)
             x_item = _dropout(k2, x_item, cfg.p_dropout_features, train)
+            if extra_active:
+                x_extra = _dropout(k3, x_extra, cfg.p_dropout_features, train)
 
         # item → user along reverse edges (dst = user slots)
         msgs_u = jnp.where(emask[:, None], x_item[batch.edge_dst], 0.0)
@@ -284,12 +331,41 @@ def encode(
         agg_i = _aggregate(msgs_i, batch.edge_dst, emask, ni, cfg.conv_agg_type)
         p = layer["user_to_item"]
         out_i = agg_i @ p["lin_l"]["w"] + p["lin_l"]["b"] + x_item @ p["lin_r"]["w"]
-        out_i = _combine_hetero([out_i], cfg.heterogeneous_prop_agg_type)
+        item_stacks = [out_i]
+
+        out_e = None
+        if extra_active:
+            # extra → item: every item has exactly one has_color edge, so
+            # the per-destination aggregation is the single message itself
+            # (identical under add/mean/max)
+            p = layer["extra_to_item"]
+            agg_ie = x_extra[e_of_item] * batch.item_mask[:, None]
+            item_stacks.append(
+                agg_ie @ p["lin_l"]["w"] + p["lin_l"]["b"]
+                + x_item @ p["lin_r"]["w"]
+            )
+            # item → extra along the same edges (dst = colour groups)
+            p = layer["item_to_extra"]
+            msgs_e = x_item * batch.item_mask[:, None]
+            agg_e = _aggregate(
+                msgs_e, e_of_item, batch.item_mask,
+                x_extra.shape[0], cfg.conv_agg_type,
+            )
+            out_e = (
+                agg_e @ p["lin_l"]["w"] + p["lin_l"]["b"]
+                + x_extra @ p["lin_r"]["w"]
+            )
+
+        out_i = _combine_hetero(item_stacks, cfg.heterogeneous_prop_agg_type)
 
         if not last:
             out_u = jax.nn.relu(out_u)
             out_i = jax.nn.relu(out_i)
+            if out_e is not None:
+                out_e = jax.nn.relu(out_e)
         x_user, x_item = out_u, out_i
+        if extra_active:
+            x_extra = out_e
 
     new_bn_state = bn_state
     if cfg.batch_norm:
@@ -338,6 +414,7 @@ def forward(
     user_features, item_features, cfg: Config,
     train: bool = False, rng: Optional[jax.Array] = None,
     user_features_float=None, item_features_float=None,
+    item_extra_ids=None, extra_features=None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Full model: logits [B, L] + new bn state (reference
     ``Encoder_Decoder_Model.forward``, ``model/encoder_decoder.py:135-153``)."""
@@ -346,7 +423,8 @@ def forward(
     k1, k2 = jax.random.split(rng)
     z_u, z_i, bn_state = encode(
         params, bn_state, batch, user_features, item_features, cfg, train, k1,
-        user_features_float, item_features_float,
+        user_features_float, item_features_float, item_extra_ids,
+        extra_features,
     )
     logits = decode(params, z_u, z_i, batch, cfg, train, k2)
     return logits, bn_state
@@ -356,6 +434,7 @@ def infer(
     params, bn_state, batch: SubgraphBatch,
     user_features, item_features, cfg: Config,
     user_features_float=None, item_features_float=None,
+    item_extra_ids=None, extra_features=None,
 ) -> jnp.ndarray:
     """Eval-mode per-user padded score matrix [B, L]; invalid slots filled
     with -2⁵⁰ (reference ``model/encoder_decoder.py:155-164``)."""
@@ -363,6 +442,8 @@ def infer(
         params, bn_state, batch, user_features, item_features, cfg, train=False,
         user_features_float=user_features_float,
         item_features_float=item_features_float,
+        item_extra_ids=item_extra_ids,
+        extra_features=extra_features,
     )
     return jnp.where(batch.label_mask, logits, INFER_PAD)
 

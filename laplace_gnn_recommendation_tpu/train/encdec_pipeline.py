@@ -51,6 +51,7 @@ def make_train_step(cfg: Config, data: LinkPredData, tx, mesh=None):
     are shared across the batch and stay replicated)."""
     uf, itf = data.user_features, data.item_features
     uff, iff = data.user_features_float, data.item_features_float
+    xid, xf = data.item_extra_ids, data.extra_features
 
     batch_constraint = None
     if mesh is not None:
@@ -83,6 +84,7 @@ def make_train_step(cfg: Config, data: LinkPredData, tx, mesh=None):
             logits, new_bn = sage.forward(
                 p, bn_state, batch, uf, itf, cfg, train=True, rng=key,
                 user_features_float=uff, item_features_float=iff,
+                item_extra_ids=xid, extra_features=xf,
             )
             return sage.bce_loss(logits, batch), new_bn
 
@@ -97,12 +99,14 @@ def make_train_step(cfg: Config, data: LinkPredData, tx, mesh=None):
 def make_eval_step(cfg: Config, data: LinkPredData):
     uf, itf = data.user_features, data.item_features
     uff, iff = data.user_features_float, data.item_features_float
+    xid, xf = data.item_extra_ids, data.extra_features
 
     @jax.jit
     def eval_step(params, bn_state, batch: SubgraphBatch):
         scores = sage.infer(
             params, bn_state, batch, uf, itf, cfg,
             user_features_float=uff, item_features_float=iff,
+            item_extra_ids=xid, extra_features=xf,
         )
         # per-user top-k over candidate label edges → their global item ids
         k = min(cfg.k, scores.shape[1])
@@ -162,7 +166,8 @@ def run_pipeline(
     feature_info = sage.get_feature_info(data.graph)
     key, k_init = jax.random.split(key)
     params, bn_state = sage.init_sage_params(
-        k_init, cfg, feature_info, float_dims=data.float_dims()
+        k_init, cfg, feature_info, float_dims=data.float_dims(),
+        num_extra=data.num_extra,
     )
     tx = optax.adam(cfg.learning_rate)
     opt_state = tx.init(params)
