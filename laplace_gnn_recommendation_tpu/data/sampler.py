@@ -187,13 +187,12 @@ class SubgraphSampler:
     # ---- per-user pieces -------------------------------------------------
 
     def _sample_positives(self, positives: np.ndarray) -> np.ndarray:
+        """Returns draw *indices* into ``positives`` (values = positives[draws])."""
         n = len(positives)
         cut = max(1, int(np.floor(n * self.cfg.positive_edges_ratio)))
         if self.randomization:
-            draws = self.rng.integers(0, n, size=cut)  # with replacement
-        else:
-            draws = np.array([int(np.argmin(positives)), int(np.argmax(positives))])
-        return positives[draws]
+            return self.rng.integers(0, n, size=cut)  # with replacement
+        return np.array([int(np.argmin(positives)), int(np.argmax(positives))])
 
     def _sample_negatives_train(
         self, sampled_pos: np.ndarray, num_neg: int
@@ -288,18 +287,30 @@ class SubgraphSampler:
         """Build one padded batch for the given seed users.
 
         ``valid_rows`` < B marks trailing rows as padding (their labels and
-        ground truth are masked out so loss/metrics ignore them)."""
+        ground truth are masked out so loss/metrics ignore them).
+
+        Slot assignment runs as ONE ``np.unique(..., return_inverse=True)``
+        per node type over the whole batch — the inverse indices ARE the
+        local slots, so no ``searchsorted``/``isin`` passes remain on the
+        fast path (measured ~35% of batch time before). The budget-
+        truncating path (rare: node sets exceeding their pad budgets) keeps
+        the explicit membership-check semantics."""
         cfg, bud = self.cfg, self.budgets
         b = len(seed_users)
         valid_rows = b if valid_rows is None else valid_rows
-        l_max = bud.labels_per_user
+
+        if self._native is not None and self.randomization and self.train:
+            batch = self._sample_batch_native(seed_users, b, valid_rows)
+            if batch is not None:
+                return batch
 
         hop_edges = self._batch_n_hop_edges(seed_users)
         per_user = []
         for row, u in enumerate(seed_users):
             u = int(u)
             positives = self.users.neighbors(u).astype(np.int64)
-            sampled_pos = self._sample_positives(positives)
+            draws = self._sample_positives(positives)
+            sampled_pos = positives[draws]
             n_pos = len(sampled_pos)
             if self.train:
                 ratio = (cfg.k - 1) if n_pos <= 1 else cfg.negative_edges_ratio
@@ -307,52 +318,75 @@ class SubgraphSampler:
             else:
                 negs = self._candidates_eval(u, positives)
             hop_src, hop_dst = hop_edges[row]
-            per_user.append((u, positives, sampled_pos, negs, hop_src, hop_dst))
+            per_user.append((u, positives, draws, sampled_pos, negs, hop_src, hop_dst))
 
-        # node slot assignment: sorted unique global ids over the whole batch
-        all_users = np.unique(
-            np.concatenate(
-                [np.asarray([p[0]], np.int64) for p in per_user]
-                + [p[4] for p in per_user]
-            )
+        # node slot assignment: sorted unique global ids over the whole
+        # batch; the inverse of each concat element is its local slot
+        seeds_arr = np.array([p[0] for p in per_user], np.int64)
+        all_users, uinv = np.unique(
+            np.concatenate([seeds_arr] + [p[5] for p in per_user]),
+            return_inverse=True,
         )
-        all_items = np.unique(
-            np.concatenate(
-                [np.concatenate([p[1], p[3], p[5]]) for p in per_user]
-            )
-        ) if per_user else np.empty(0, np.int64)
+        i_parts = []
+        for p in per_user:
+            i_parts += [p[1], p[4], p[6]]
+        all_items, iinv = np.unique(
+            np.concatenate(i_parts) if i_parts else np.empty(0, np.int64),
+            return_inverse=True,
+        )
 
-        nodes_truncated = (
+        if (
             len(all_users) > bud.num_user_slots
             or len(all_items) > bud.num_item_slots
-        )
-        if nodes_truncated:
+        ):
             self.truncations["nodes"] += 1
-            all_users = all_users[: bud.num_user_slots]
-            all_items = all_items[: bud.num_item_slots]
+            return self._assemble_truncated(per_user, b, valid_rows)
 
-        def uslot(x):
-            return np.searchsorted(all_users, x)
+        l_max = bud.labels_per_user
+        label = np.zeros((b, l_max), np.float32)
+        label_mask = np.zeros((b, l_max), bool)
+        label_item_global = np.zeros((b, l_max), np.int32)
+        label_dst = np.zeros((b, l_max), np.int32)
+        gt_items = np.full((b, bud.gt_per_user), -1, np.int32)
+        gt_count = np.zeros(b, np.int32)
+        seed_slots = uinv[:b].astype(np.int32)
+        seeds = seeds_arr.astype(np.int32)
 
-        def islot(x):
-            return np.searchsorted(all_items, x)
-
-        # subgraph edges = per-user (positive edges + hop edges), local coords
         esrc_l, edst_l = [], []
-        for (u, positives, _sp, _n, hop_src, hop_dst) in per_user:
-            esrc_l.append(np.full(len(positives), u, np.int64))
-            edst_l.append(positives)
-            esrc_l.append(hop_src)
-            edst_l.append(hop_dst)
+        u_off = b
+        i_off = 0
+        for row, (u, positives, draws, sampled_pos, negs, _hs, hop_dst) in enumerate(per_user):
+            np_, nn, nh = len(positives), len(negs), len(hop_dst)
+            pos_slots = iinv[i_off : i_off + np_]
+            neg_slots = iinv[i_off + np_ : i_off + np_ + nn]
+            hop_dst_slots = iinv[i_off + np_ + nn : i_off + np_ + nn + nh]
+            i_off += np_ + nn + nh
+            hop_src_slots = uinv[u_off : u_off + nh]
+            u_off += nh
+
+            esrc_l.append(np.full(np_, seed_slots[row], np.int64))
+            edst_l.append(pos_slots)
+            esrc_l.append(hop_src_slots)
+            edst_l.append(hop_dst_slots)
+
+            items = np.concatenate([sampled_pos, negs])
+            slots = np.concatenate([pos_slots[draws], neg_slots])
+            n_pos = len(sampled_pos)
+            if len(items) > l_max:
+                self.truncations["labels"] += len(items) - l_max
+                items, slots = items[:l_max], slots[:l_max]
+                n_pos = min(n_pos, l_max)
+            c = len(items)
+            label[row, :n_pos] = 1.0
+            label_mask[row, :c] = True
+            label_item_global[row, :c] = items
+            label_dst[row, :c] = slots
+            g = min(np_, bud.gt_per_user)
+            gt_items[row, :g] = positives[:g]
+            gt_count[row] = g
+
         esrc = np.concatenate(esrc_l)
         edst = np.concatenate(edst_l)
-        if nodes_truncated:
-            # drop edges touching truncated nodes (membership checks only
-            # needed when the node sets were actually cut)
-            keep = np.isin(esrc, all_users) & np.isin(edst, all_items)
-            if not keep.all():
-                self.truncations["edges"] += int((~keep).sum())
-                esrc, edst = esrc[keep], edst[keep]
         if len(esrc) > bud.num_edges:
             self.truncations["edges"] += len(esrc) - bud.num_edges
             esrc, edst = esrc[: bud.num_edges], edst[: bud.num_edges]
@@ -361,58 +395,77 @@ class SubgraphSampler:
         edge_src = np.zeros(e_pad, np.int32)
         edge_dst = np.zeros(e_pad, np.int32)
         edge_mask = np.zeros(e_pad, bool)
-        edge_src[: len(esrc)] = uslot(esrc)
-        edge_dst[: len(esrc)] = islot(edst)
+        edge_src[: len(esrc)] = esrc
+        edge_dst[: len(esrc)] = edst
         edge_mask[: len(esrc)] = True
 
-        # label grid [B, L]
-        label_src = np.zeros((b, l_max), np.int32)
-        label_dst = np.zeros((b, l_max), np.int32)
-        label = np.zeros((b, l_max), np.float32)
-        label_mask = np.zeros((b, l_max), bool)
-        label_item_global = np.zeros((b, l_max), np.int32)
-        gt_items = np.full((b, bud.gt_per_user), -1, np.int32)
-        gt_count = np.zeros(b, np.int32)
-        seeds = np.zeros(b, np.int32)
-        seed_slots = np.zeros(b, np.int32)
-
-        # fill the per-user grids, deferring slot lookups so one vectorized
-        # searchsorted covers the whole batch
-        for row, (u, positives, sampled_pos, negs, _hs, _hd) in enumerate(per_user):
-            if nodes_truncated:
-                # a truncated node set invalidates any label whose endpoint
-                # was dropped — sampled positives and the seed user included
-                # (otherwise searchsorted would map them to a wrong slot
-                # while the label stays set)
-                negs = negs[np.isin(negs, all_items)]
-                sampled_pos = sampled_pos[np.isin(sampled_pos, all_items)]
-                if u not in all_users:
-                    gt_count[row] = 0
-                    seeds[row] = u
-                    continue
-            items = np.concatenate([sampled_pos, negs])
-            n_pos = len(sampled_pos)
-            if len(items) > l_max:
-                self.truncations["labels"] += len(items) - l_max
-                items = items[:l_max]
-                n_pos = min(n_pos, l_max)
-            c = len(items)
-            label[row, :n_pos] = 1.0
-            label_mask[row, :c] = True
-            label_item_global[row, :c] = items
-            g = min(len(positives), bud.gt_per_user)
-            gt_items[row, :g] = positives[:g]
-            gt_count[row] = g
-            seeds[row] = u
-
-        seed_slots[:] = uslot(seeds)
-        label_src[:] = np.where(label_mask, seed_slots[:, None], 0)
-        label_dst[:] = np.where(label_mask, islot(label_item_global), 0)
-
+        label_src = np.where(label_mask, seed_slots[:, None], 0).astype(np.int32)
+        label_dst = np.where(label_mask, label_dst, 0)
         if valid_rows < b:
             label_mask[valid_rows:] = False
             gt_count[valid_rows:] = 0
 
+        return self._pack(
+            all_users, all_items, edge_src, edge_dst, edge_mask,
+            label_src, label_dst, label, label_mask, label_item_global,
+            seeds, seed_slots, gt_items, gt_count,
+        )
+
+    def _sample_batch_native(
+        self, seed_users: np.ndarray, b: int, valid_rows: int
+    ) -> Optional[SubgraphBatch]:
+        """Whole-batch assembly in one C++ call (BFS + pos/neg sampling +
+        slot maps + edge/label grids — ROADMAP device-side sampler stage).
+        Returns None when a budget would overflow; the caller then runs the
+        Python (truncating) path. RNG is the library's splitmix64 stream —
+        distributionally equivalent to the numpy path, not bit-identical
+        (same caveat as the native BFS)."""
+        cfg, bud = self.cfg, self.budgets
+        out = self._native.assemble_train_batch(
+            self.users.row_ptr, self.users.cols,
+            self.items.row_ptr, self.items.cols,
+            self.num_users, self.num_items,
+            np.asarray(seed_users, np.int32),
+            cfg.n_hop_neighbors, cfg.num_neighbors,
+            cfg.positive_edges_ratio, cfg.negative_edges_ratio, cfg.k,
+            self.id_max, int(self.users.cols.shape[0]),
+            int(self.rng.integers(0, 2 ** 62)),
+            bud.num_user_slots, bud.num_item_slots, bud.num_edges,
+            bud.labels_per_user, bud.gt_per_user,
+        )
+        if out is None:
+            return None
+        self.truncations["labels"] += out["label_truncations"]
+        label_mask = out["label_mask"].view(np.bool_)
+        gt_count = out["gt_count"]
+        if valid_rows < b:
+            label_mask[valid_rows:] = False
+            gt_count[valid_rows:] = 0
+        return SubgraphBatch(
+            user_ids=out["user_ids"],
+            item_ids=out["item_ids"],
+            user_mask=out["user_mask"].view(np.bool_),
+            item_mask=out["item_mask"].view(np.bool_),
+            edge_src=out["edge_src"],
+            edge_dst=out["edge_dst"],
+            edge_mask=out["edge_mask"].view(np.bool_),
+            label_src=out["label_src"],
+            label_dst=out["label_dst"],
+            label=out["label"],
+            label_mask=label_mask,
+            label_item_global=out["label_item_global"],
+            seed_users=out["seeds_out"],
+            seed_slots=out["seed_slots"],
+            gt_items=out["gt_items"],
+            gt_count=gt_count,
+        )
+
+    def _pack(
+        self, all_users, all_items, edge_src, edge_dst, edge_mask,
+        label_src, label_dst, label, label_mask, label_item_global,
+        seeds, seed_slots, gt_items, gt_count,
+    ) -> SubgraphBatch:
+        bud = self.budgets
         nu, ni = bud.num_user_slots, bud.num_item_slots
         user_ids = np.zeros(nu, np.int32)
         user_ids[: len(all_users)] = all_users
@@ -441,6 +494,109 @@ class SubgraphSampler:
             seed_slots=seed_slots,
             gt_items=gt_items,
             gt_count=gt_count,
+        )
+
+    def _assemble_truncated(
+        self, per_user, b: int, valid_rows: int
+    ) -> SubgraphBatch:
+        """Budget-overflow path: sorted-unique slot maps with explicit
+        membership checks; anything touching a dropped node is invalidated
+        (and counted in ``self.truncations``)."""
+        bud = self.budgets
+        l_max = bud.labels_per_user
+
+        all_users = np.unique(
+            np.concatenate(
+                [np.asarray([p[0]], np.int64) for p in per_user]
+                + [p[5] for p in per_user]
+            )
+        )[: bud.num_user_slots]
+        all_items = np.unique(
+            np.concatenate(
+                [np.concatenate([p[1], p[4], p[6]]) for p in per_user]
+            )
+        )[: bud.num_item_slots] if per_user else np.empty(0, np.int64)
+
+        def uslot(x):
+            return np.searchsorted(all_users, x)
+
+        def islot(x):
+            return np.searchsorted(all_items, x)
+
+        # subgraph edges = per-user (positive edges + hop edges), local coords
+        esrc_l, edst_l = [], []
+        for (u, positives, _d, _sp, _n, hop_src, hop_dst) in per_user:
+            esrc_l.append(np.full(len(positives), u, np.int64))
+            edst_l.append(positives)
+            esrc_l.append(hop_src)
+            edst_l.append(hop_dst)
+        esrc = np.concatenate(esrc_l)
+        edst = np.concatenate(edst_l)
+        # drop edges touching truncated nodes
+        keep = np.isin(esrc, all_users) & np.isin(edst, all_items)
+        if not keep.all():
+            self.truncations["edges"] += int((~keep).sum())
+            esrc, edst = esrc[keep], edst[keep]
+        if len(esrc) > bud.num_edges:
+            self.truncations["edges"] += len(esrc) - bud.num_edges
+            esrc, edst = esrc[: bud.num_edges], edst[: bud.num_edges]
+
+        e_pad = bud.num_edges
+        edge_src = np.zeros(e_pad, np.int32)
+        edge_dst = np.zeros(e_pad, np.int32)
+        edge_mask = np.zeros(e_pad, bool)
+        edge_src[: len(esrc)] = uslot(esrc)
+        edge_dst[: len(esrc)] = islot(edst)
+        edge_mask[: len(esrc)] = True
+
+        label_src = np.zeros((b, l_max), np.int32)
+        label_dst = np.zeros((b, l_max), np.int32)
+        label = np.zeros((b, l_max), np.float32)
+        label_mask = np.zeros((b, l_max), bool)
+        label_item_global = np.zeros((b, l_max), np.int32)
+        gt_items = np.full((b, bud.gt_per_user), -1, np.int32)
+        gt_count = np.zeros(b, np.int32)
+        seeds = np.zeros(b, np.int32)
+        seed_slots = np.zeros(b, np.int32)
+
+        for row, (u, positives, _d, sampled_pos, negs, _hs, _hd) in enumerate(per_user):
+            # a truncated node set invalidates any label whose endpoint
+            # was dropped — sampled positives and the seed user included
+            # (otherwise searchsorted would map them to a wrong slot
+            # while the label stays set)
+            negs = negs[np.isin(negs, all_items)]
+            sampled_pos = sampled_pos[np.isin(sampled_pos, all_items)]
+            if u not in all_users:
+                gt_count[row] = 0
+                seeds[row] = u
+                continue
+            items = np.concatenate([sampled_pos, negs])
+            n_pos = len(sampled_pos)
+            if len(items) > l_max:
+                self.truncations["labels"] += len(items) - l_max
+                items = items[:l_max]
+                n_pos = min(n_pos, l_max)
+            c = len(items)
+            label[row, :n_pos] = 1.0
+            label_mask[row, :c] = True
+            label_item_global[row, :c] = items
+            g = min(len(positives), bud.gt_per_user)
+            gt_items[row, :g] = positives[:g]
+            gt_count[row] = g
+            seeds[row] = u
+
+        seed_slots[:] = uslot(seeds)
+        label_src[:] = np.where(label_mask, seed_slots[:, None], 0)
+        label_dst[:] = np.where(label_mask, islot(label_item_global), 0)
+
+        if valid_rows < b:
+            label_mask[valid_rows:] = False
+            gt_count[valid_rows:] = 0
+
+        return self._pack(
+            all_users, all_items, edge_src, edge_dst, edge_mask,
+            label_src, label_dst, label, label_mask, label_item_global,
+            seeds, seed_slots, gt_items, gt_count,
         )
 
     def epoch_batches(self, shuffle: bool = True):

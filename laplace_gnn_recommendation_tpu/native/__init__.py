@@ -76,6 +76,24 @@ def _load() -> Optional[ctypes.CDLL]:
         i64p, i32p, i64p, i32p,
         i32p, ctypes.c_int64, ctypes.c_uint64, i32p,
     ]
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.assemble_train_batch.restype = ctypes.c_int64
+    lib.assemble_train_batch.argtypes = [
+        i64p, i32p, i64p, i32p,
+        ctypes.c_int64, ctypes.c_int64,
+        i32p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_uint64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        i32p, i32p, u8p, u8p,
+        i32p, i32p, u8p,
+        i32p, i32p, f32p, u8p, i32p,
+        i32p, i32p, i32p, i32p,
+        i64p,
+    ]
     return lib
 
 
@@ -111,6 +129,65 @@ def nhop_sample(
         if total >= 0:
             return src[:total], dst[:total], offsets
         cap *= 4
+
+
+def assemble_train_batch(
+    user_row_ptr, user_cols, item_row_ptr, item_cols,
+    num_users: int, num_items: int,
+    seeds: np.ndarray, n_hops: int, num_neighbors: int,
+    pos_ratio: float, neg_ratio: float, k: int,
+    id_max: int, total_edges: int, rng_seed: int,
+    num_user_slots: int, num_item_slots: int, num_edges: int,
+    labels_per_user: int, gt_per_user: int,
+):
+    """One native call → all padded TRAIN batch arrays, or None when a
+    budget would overflow (caller falls back to the Python path)."""
+    assert LIB is not None
+    seeds = np.ascontiguousarray(seeds, np.int32)
+    b = len(seeds)
+    out = dict(
+        user_ids=np.empty(num_user_slots, np.int32),
+        item_ids=np.empty(num_item_slots, np.int32),
+        user_mask=np.empty(num_user_slots, np.uint8),
+        item_mask=np.empty(num_item_slots, np.uint8),
+        edge_src=np.empty(num_edges, np.int32),
+        edge_dst=np.empty(num_edges, np.int32),
+        edge_mask=np.empty(num_edges, np.uint8),
+        label_src=np.empty((b, labels_per_user), np.int32),
+        label_dst=np.empty((b, labels_per_user), np.int32),
+        label=np.empty((b, labels_per_user), np.float32),
+        label_mask=np.empty((b, labels_per_user), np.uint8),
+        label_item_global=np.empty((b, labels_per_user), np.int32),
+        gt_items=np.empty((b, gt_per_user), np.int32),
+        gt_count=np.empty(b, np.int32),
+        seed_slots=np.empty(b, np.int32),
+        seeds_out=np.empty(b, np.int32),
+    )
+    stats = np.zeros(1, np.int64)
+    rc = LIB.assemble_train_batch(
+        np.ascontiguousarray(user_row_ptr, np.int64),
+        np.ascontiguousarray(user_cols, np.int32),
+        np.ascontiguousarray(item_row_ptr, np.int64),
+        np.ascontiguousarray(item_cols, np.int32),
+        num_users, num_items,
+        seeds, b, n_hops, num_neighbors,
+        float(pos_ratio), float(neg_ratio), int(k),
+        int(id_max), int(total_edges),
+        np.uint64(rng_seed & 0xFFFFFFFFFFFFFFFF),
+        num_user_slots, num_item_slots, num_edges,
+        labels_per_user, gt_per_user,
+        out["user_ids"], out["item_ids"], out["user_mask"], out["item_mask"],
+        out["edge_src"], out["edge_dst"], out["edge_mask"],
+        out["label_src"], out["label_dst"], out["label"],
+        out["label_mask"], out["label_item_global"],
+        out["gt_items"], out["gt_count"],
+        out["seed_slots"], out["seeds_out"],
+        stats,
+    )
+    if rc != 0:
+        return None
+    out["label_truncations"] = int(stats[0])
+    return out
 
 
 def pinsage_frontier(

@@ -59,6 +59,59 @@ void sample_cut(const int32_t* arr, int64_t n, int64_t k, Rng& rng,
   }
 }
 
+// scratch buffers for one BFS worker thread
+struct BfsScratch {
+  std::vector<int64_t> explored_stamp, seen_stamp;
+  std::vector<int32_t> new_articles, articles_queue, cut_buf, queue, new_users;
+  explicit BfsScratch(int64_t num_users)
+      : explored_stamp(num_users, -1), seen_stamp(num_users, -1) {}
+};
+
+// one seed's N-hop BFS (fetch_n_hop_neighbourhood semantics,
+// data/dataset.py:258-293); appends hop edges to (srcs, dsts)
+void bfs_seed(
+    const int64_t* user_row_ptr, const int32_t* user_cols,
+    const int64_t* item_row_ptr, const int32_t* item_cols,
+    int32_t seed, int32_t n_hops, int32_t num_neighbors,
+    int64_t gen, Rng& rng, BfsScratch& sc,
+    std::vector<int32_t>& srcs, std::vector<int32_t>& dsts) {
+  sc.queue.assign(1, seed);
+  sc.explored_stamp[seed] = gen;
+  for (int32_t hop = 0; hop < n_hops; ++hop) {
+    if (sc.queue.empty()) break;
+    sc.new_articles.clear();
+    for (int32_t u : sc.queue) {
+      const int64_t lo = user_row_ptr[u], hi = user_row_ptr[u + 1];
+      for (int64_t e = lo; e < hi; ++e) {
+        const int32_t a = user_cols[e];
+        sc.new_articles.push_back(a);
+        if (hop != 0) {
+          srcs.push_back(u);
+          dsts.push_back(a);
+        }
+      }
+    }
+    sample_cut(sc.new_articles.data(), (int64_t)sc.new_articles.size(),
+               num_neighbors, rng, sc.articles_queue);
+    sc.new_users.clear();
+    for (int32_t a : sc.articles_queue) {
+      const int64_t lo = item_row_ptr[a], hi = item_row_ptr[a + 1];
+      for (int64_t e = lo; e < hi; ++e) {
+        const int32_t u2 = item_cols[e];
+        if (sc.explored_stamp[u2] != gen && sc.seen_stamp[u2] != gen) {
+          sc.seen_stamp[u2] = gen;
+          sc.new_users.push_back(u2);
+        }
+      }
+    }
+    std::sort(sc.new_users.begin(), sc.new_users.end());  // determinism
+    sample_cut(sc.new_users.data(), (int64_t)sc.new_users.size(),
+               num_neighbors, rng, sc.cut_buf);
+    for (int32_t u2 : sc.cut_buf) sc.explored_stamp[u2] = gen;
+    sc.queue = sc.cut_buf;
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -91,52 +144,15 @@ int64_t nhop_sample(
   {
     // generation-stamped membership arrays: O(1) dedup with no hashing
     // (the per-hop user unions touch O(articles · item_degree) entries)
-    std::vector<int64_t> explored_stamp(num_users, -1);
-    std::vector<int64_t> seen_stamp(num_users, -1);
-    std::vector<int32_t> new_articles, articles_queue, cut_buf, queue, new_users;
+    BfsScratch sc(num_users);
 
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic)
 #endif
     for (int64_t s = 0; s < num_seeds; ++s) {
       Rng rng(rng_seed * 0x9e3779b97f4a7c15ULL + (uint64_t)s * 0xda942042e4dd58b5ULL);
-      const int64_t gen = s;  // one generation per seed
-      queue.assign(1, seeds[s]);
-      explored_stamp[seeds[s]] = gen;
-
-      for (int32_t hop = 0; hop < n_hops; ++hop) {
-        if (queue.empty()) break;
-        new_articles.clear();
-        for (int32_t u : queue) {
-          const int64_t lo = user_row_ptr[u], hi = user_row_ptr[u + 1];
-          for (int64_t e = lo; e < hi; ++e) {
-            const int32_t a = user_cols[e];
-            new_articles.push_back(a);
-            if (hop != 0) {
-              srcs[s].push_back(u);
-              dsts[s].push_back(a);
-            }
-          }
-        }
-        sample_cut(new_articles.data(), (int64_t)new_articles.size(),
-                   num_neighbors, rng, articles_queue);
-        new_users.clear();
-        for (int32_t a : articles_queue) {
-          const int64_t lo = item_row_ptr[a], hi = item_row_ptr[a + 1];
-          for (int64_t e = lo; e < hi; ++e) {
-            const int32_t u2 = item_cols[e];
-            if (explored_stamp[u2] != gen && seen_stamp[u2] != gen) {
-              seen_stamp[u2] = gen;
-              new_users.push_back(u2);
-            }
-          }
-        }
-        std::sort(new_users.begin(), new_users.end());  // determinism
-        sample_cut(new_users.data(), (int64_t)new_users.size(), num_neighbors,
-                   rng, cut_buf);
-        for (int32_t u2 : cut_buf) explored_stamp[u2] = gen;
-        queue = cut_buf;
-      }
+      bfs_seed(user_row_ptr, user_cols, item_row_ptr, item_cols,
+               seeds[s], n_hops, num_neighbors, s, rng, sc, srcs[s], dsts[s]);
     }
   }
 
@@ -228,6 +244,190 @@ void walk_step(
     if (ihi == ilo) continue;
     out[i] = user_cols[ilo + (int64_t)rng.bounded((uint64_t)(ihi - ilo))];
   }
+}
+
+// Full padded TRAIN batch in one native call — BFS + positive/negative
+// sampling + slot assignment + edge/label-grid fill (the whole
+// SubgraphSampler.sample_batch fast path, data/sampler.py). Eval batches
+// (Python matcher candidates) and the deterministic oracle mode stay in
+// Python.
+//
+// Semantics mirror data/dataset.py through the Python sampler:
+//   * positives: max(1, floor(deg·pos_ratio)) draws WITH replacement (:57-69)
+//   * negatives: n_pos<=1 → k-1 draws; fast path uniform in [0, id_max)
+//     when total_edges/num_neg > 100, else distinct draws excluding the
+//     sampled positives (:190-230)
+//   * node slots: ascending global id over the batch's touched nodes
+//     (stamp arrays + one counting pass — no sort)
+//   * per-user edge order: positive edges then hop edges
+//
+// Returns 0 on success; -1 when a node budget or the edge buffer would
+// overflow (caller falls back to the Python truncating path).
+int64_t assemble_train_batch(
+    const int64_t* user_row_ptr, const int32_t* user_cols,
+    const int64_t* item_row_ptr, const int32_t* item_cols,
+    int64_t num_users, int64_t num_items,
+    const int32_t* seeds, int64_t num_seeds,
+    int32_t n_hops, int32_t num_neighbors,
+    double pos_ratio, double neg_ratio, int32_t k,
+    int32_t id_max, int64_t total_edges,
+    uint64_t rng_seed,
+    int64_t num_user_slots, int64_t num_item_slots, int64_t num_edges,
+    int64_t labels_per_user, int64_t gt_per_user,
+    int32_t* user_ids, int32_t* item_ids,
+    uint8_t* user_mask, uint8_t* item_mask,
+    int32_t* edge_src, int32_t* edge_dst, uint8_t* edge_mask,
+    int32_t* label_src, int32_t* label_dst, float* label,
+    uint8_t* label_mask, int32_t* label_item_global,
+    int32_t* gt_items, int32_t* gt_count,
+    int32_t* seed_slots, int32_t* seeds_out,
+    int64_t* stats /* [label_truncations] */) {
+  // --- per-seed sampling (parallel) -------------------------------------
+  std::vector<std::vector<int32_t>> hsrcs(num_seeds), hdsts(num_seeds);
+  std::vector<std::vector<int32_t>> pos_draws(num_seeds), negs(num_seeds);
+
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    BfsScratch sc(num_users);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+    for (int64_t s = 0; s < num_seeds; ++s) {
+      Rng rng(rng_seed * 0x9e3779b97f4a7c15ULL +
+              (uint64_t)s * 0xda942042e4dd58b5ULL);
+      bfs_seed(user_row_ptr, user_cols, item_row_ptr, item_cols,
+               seeds[s], n_hops, num_neighbors, s, rng, sc,
+               hsrcs[s], hdsts[s]);
+      const int32_t u = seeds[s];
+      const int64_t lo = user_row_ptr[u];
+      const int64_t deg = user_row_ptr[u + 1] - lo;
+      const int64_t cut =
+          deg > 0 ? std::max<int64_t>(1, (int64_t)(deg * pos_ratio)) : 0;
+      for (int64_t i = 0; i < cut; ++i)
+        pos_draws[s].push_back((int32_t)rng.bounded((uint64_t)deg));
+      const int64_t n_pos = cut;
+      const int64_t num_neg =
+          n_pos <= 1 ? (int64_t)(k - 1)
+                     : (int64_t)(neg_ratio * (double)n_pos);
+      if (num_neg > 0) {
+        const int64_t bound = std::max<int64_t>(id_max, 1);
+        if (num_neg > 0 && total_edges / num_neg > 100) {
+          for (int64_t i = 0; i < num_neg; ++i)
+            negs[s].push_back((int32_t)rng.bounded((uint64_t)bound));
+        } else {
+          // distinct draws excluding the sampled positives (the Python
+          // path's setdiff+shuffle, expressed as rejection draws)
+          std::unordered_set<int32_t> excl;
+          for (int32_t d : pos_draws[s]) excl.insert(user_cols[lo + d]);
+          std::unordered_set<int32_t> chosen;
+          const int64_t want =
+              std::min<int64_t>(num_neg, (int64_t)(id_max + 1));
+          int64_t attempts = 0, cap = 20 * want + 64;
+          while ((int64_t)chosen.size() < want && attempts++ < cap) {
+            int32_t c = (int32_t)rng.bounded((uint64_t)(id_max + 1));
+            if (excl.count(c) || chosen.count(c)) continue;
+            chosen.insert(c);
+            negs[s].push_back(c);
+          }
+        }
+      }
+    }
+  }
+
+  // --- slot assignment (serial): ascending-global-id slots ---------------
+  std::vector<int32_t> uslot(num_users, -1), islot(num_items, -1);
+  for (int64_t s = 0; s < num_seeds; ++s) {
+    uslot[seeds[s]] = 0;
+    for (int32_t u : hsrcs[s]) uslot[u] = 0;
+    const int32_t u = seeds[s];
+    for (int64_t e = user_row_ptr[u]; e < user_row_ptr[u + 1]; ++e)
+      islot[user_cols[e]] = 0;
+    for (int32_t a : negs[s]) islot[a] = 0;
+    for (int32_t a : hdsts[s]) islot[a] = 0;
+  }
+  int64_t nu = 0, ni = 0;
+  for (int64_t i = 0; i < num_users; ++i)
+    if (uslot[i] == 0) {
+      if (nu >= num_user_slots) return -1;
+      uslot[i] = (int32_t)nu;
+      user_ids[nu++] = (int32_t)i;
+    }
+  for (int64_t i = 0; i < num_items; ++i)
+    if (islot[i] == 0) {
+      if (ni >= num_item_slots) return -1;
+      islot[i] = (int32_t)ni;
+      item_ids[ni++] = (int32_t)i;
+    }
+  for (int64_t i = nu; i < num_user_slots; ++i) user_ids[i] = 0;
+  for (int64_t i = ni; i < num_item_slots; ++i) item_ids[i] = 0;
+  for (int64_t i = 0; i < num_user_slots; ++i) user_mask[i] = i < nu;
+  for (int64_t i = 0; i < num_item_slots; ++i) item_mask[i] = i < ni;
+
+  // --- edges + label grid -------------------------------------------------
+  std::memset(label, 0, sizeof(float) * num_seeds * labels_per_user);
+  std::memset(label_mask, 0, num_seeds * labels_per_user);
+  std::memset(label_src, 0, sizeof(int32_t) * num_seeds * labels_per_user);
+  std::memset(label_dst, 0, sizeof(int32_t) * num_seeds * labels_per_user);
+  std::memset(label_item_global, 0,
+              sizeof(int32_t) * num_seeds * labels_per_user);
+  int64_t label_trunc = 0;
+  int64_t e_n = 0;
+  for (int64_t s = 0; s < num_seeds; ++s) {
+    const int32_t u = seeds[s];
+    const int32_t us = uslot[u];
+    seeds_out[s] = u;
+    seed_slots[s] = us;
+    const int64_t lo = user_row_ptr[u];
+    const int64_t deg = user_row_ptr[u + 1] - lo;
+    // positive edges, then hop edges (Python fast-path order)
+    if (e_n + deg + (int64_t)hsrcs[s].size() > num_edges) return -1;
+    for (int64_t e = 0; e < deg; ++e) {
+      edge_src[e_n] = us;
+      edge_dst[e_n] = islot[user_cols[lo + e]];
+      ++e_n;
+    }
+    for (size_t j = 0; j < hsrcs[s].size(); ++j) {
+      edge_src[e_n] = uslot[hsrcs[s][j]];
+      edge_dst[e_n] = islot[hdsts[s][j]];
+      ++e_n;
+    }
+    // label grid row
+    const int64_t n_pos = (int64_t)pos_draws[s].size();
+    const int64_t n_neg = (int64_t)negs[s].size();
+    const int64_t total = n_pos + n_neg;
+    const int64_t c = std::min<int64_t>(total, labels_per_user);
+    if (total > labels_per_user) label_trunc += total - labels_per_user;
+    float* lrow = label + s * labels_per_user;
+    uint8_t* mrow = label_mask + s * labels_per_user;
+    int32_t* srow = label_src + s * labels_per_user;
+    int32_t* drow = label_dst + s * labels_per_user;
+    int32_t* grow = label_item_global + s * labels_per_user;
+    for (int64_t j = 0; j < c; ++j) {
+      const int32_t item =
+          j < n_pos ? user_cols[lo + pos_draws[s][j]] : negs[s][j - n_pos];
+      lrow[j] = j < n_pos ? 1.0f : 0.0f;
+      mrow[j] = 1;
+      srow[j] = us;
+      drow[j] = islot[item];
+      grow[j] = item;
+    }
+    // ground truth = the user's positives (caps at gt_per_user)
+    const int64_t g = std::min<int64_t>(deg, gt_per_user);
+    for (int64_t j = 0; j < g; ++j) gt_items[s * gt_per_user + j] =
+        user_cols[lo + j];
+    for (int64_t j = g; j < gt_per_user; ++j)
+      gt_items[s * gt_per_user + j] = -1;
+    gt_count[s] = (int32_t)g;
+  }
+  for (int64_t e = 0; e < num_edges; ++e) edge_mask[e] = e < e_n;
+  for (int64_t e = e_n; e < num_edges; ++e) {
+    edge_src[e] = 0;
+    edge_dst[e] = 0;
+  }
+  stats[0] = label_trunc;
+  return 0;
 }
 
 }  // extern "C"
