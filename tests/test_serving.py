@@ -1,0 +1,133 @@
+"""Batch serving API: retrieval (MIPS + exclusion) and ranking servers."""
+import numpy as np
+import pytest
+
+from laplace_gnn_recommendation_tpu.configs import Config
+from laplace_gnn_recommendation_tpu.data.link_pred_data import (
+    create_link_pred_data,
+)
+from laplace_gnn_recommendation_tpu.data.synthetic import (
+    random_bipartite_edges,
+    random_hetero_graph,
+)
+from laplace_gnn_recommendation_tpu.models import sage
+from laplace_gnn_recommendation_tpu.serving import (
+    RankingServer,
+    RetrievalServer,
+)
+
+
+class TestRetrievalServer:
+    def _tables(self, seed=0, u=40, i=30, d=8):
+        rng = np.random.default_rng(seed)
+        return (
+            rng.normal(size=(u, d)).astype(np.float32),
+            rng.normal(size=(i, d)).astype(np.float32),
+        )
+
+    def test_topk_matches_brute_force(self):
+        ue, ie = self._tables()
+        srv = RetrievalServer(ue, ie, k=5, batch_size=16)
+        users = np.array([0, 3, 7, 39])
+        items, scores = srv.recommend(users)
+        ref = ue[users] @ ie.T
+        for row, u in enumerate(users):
+            expect = np.argsort(-ref[row])[:5]
+            np.testing.assert_array_equal(items[row], expect)
+        assert (np.diff(scores, axis=1) <= 1e-6).all()
+
+    def test_exclusion_removes_seen_items(self):
+        ue, ie = self._tables(seed=1)
+        eu = np.array([0, 0, 0, 2, 2])
+        ei = np.array([4, 9, 11, 1, 2])
+        srv = RetrievalServer(ue, ie, k=6, exclude_edges=(eu, ei))
+        items, _ = srv.recommend([0, 1, 2])
+        assert not ({4, 9, 11} & set(items[0].tolist()))
+        assert not ({1, 2} & set(items[2].tolist()))
+        # user 1 has no exclusions — plain argsort top-6
+        expect = np.argsort(-(ue[1] @ ie.T))[:6]
+        np.testing.assert_array_equal(items[1], expect)
+
+    def test_request_larger_than_batch_chunks(self):
+        ue, ie = self._tables(seed=2, u=100)
+        srv = RetrievalServer(ue, ie, k=3, batch_size=16)
+        users = np.arange(100)
+        items, _ = srv.recommend(users)
+        assert items.shape == (100, 3)
+        ref = np.argsort(-(ue @ ie.T), axis=1)[:, :3]
+        np.testing.assert_array_equal(items, ref)
+
+    def test_from_lightgcn_artifacts(self, tmp_path):
+        ue, ie = self._tables(seed=3)
+        np.savez_compressed(
+            tmp_path / "lightgcn_embeddings.npz",
+            users_emb_final=ue, items_emb_final=ie,
+        )
+        srv = RetrievalServer.from_lightgcn_artifacts(str(tmp_path), k=4)
+        items, _ = srv.recommend([5])
+        expect = np.argsort(-(ue[5] @ ie.T))[:4]
+        np.testing.assert_array_equal(items[0], expect)
+
+
+class TestRankingServer:
+    @pytest.fixture(scope="class")
+    def served(self):
+        g = random_hetero_graph(seed=6, num_users=50, num_items=40, avg_degree=6)
+        cfg = Config(
+            epochs=1, batch_size=8, num_neighbors=8, n_hop_neighbors=2,
+            hidden_layer_size=16, encoder_layer_output_size=8,
+            num_gnn_layers=2, num_linear_layers=2, k=4,
+            candidate_pool_size=8, positive_edges_ratio=0.5,
+            negative_edges_ratio=2.0, p_dropout_features=0.0,
+            batch_norm=True, seed=1,
+        )
+        data = create_link_pred_data(g, cfg)
+        info = sage.get_feature_info(g)
+        import jax
+
+        params, bn_state = sage.init_sage_params(
+            jax.random.PRNGKey(0), cfg, info
+        )
+        return RankingServer(cfg, data, params, bn_state), data
+
+    def test_recommend_shapes_and_candidate_only(self, served):
+        srv, data = served
+        users = np.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 9])
+        recs = srv.recommend(users, k=4)
+        assert recs.shape == (10, 4)
+        # recommendations are candidates, never already-interacted items
+        test_csr = data.splits["test"].user_csr
+        for row, u in enumerate(users):
+            seen = set(test_csr.neighbors(int(u)).tolist())
+            got = [i for i in recs[row].tolist() if i >= 0]
+            assert not (seen & set(got))
+            assert len(got) == len(set(got))  # no dupes
+
+    def test_partial_batch_tail(self, served):
+        srv, _ = served
+        recs = srv.recommend(np.array([3, 4, 5]), k=3)
+        assert recs.shape == (3, 3)
+
+    def test_reference_quirk_mode_allows_xor_positives(self, served):
+        """exclude_seen=False reproduces run_submission.py:60-66 exactly:
+        only label>0 edges are filtered, so positives no matcher proposed
+        (label-0 XOR re-entries) may be recommended."""
+        srv, data = served
+        lax_srv = RankingServer(
+            srv.cfg, data, srv.params, srv.bn_state, exclude_seen=False
+        )
+        users = np.arange(20)
+        strict = srv.recommend(users, k=4)
+        lax = lax_srv.recommend(users, k=4)
+        test_csr = data.splits["test"].user_csr
+        # strict mode never returns seen items
+        for row, u in enumerate(users):
+            seen = set(test_csr.neighbors(int(u)).tolist())
+            assert not (seen & {i for i in strict[row].tolist() if i >= 0})
+        # lax mode's extra items (if any) are all true positives — the quirk
+        for row, u in enumerate(users):
+            seen = set(test_csr.neighbors(int(u)).tolist())
+            extra = set(lax[row].tolist()) - set(strict[row].tolist())
+            overlap = extra & seen
+            for it in overlap:
+                assert it in seen
