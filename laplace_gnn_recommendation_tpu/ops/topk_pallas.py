@@ -154,6 +154,141 @@ def streaming_mips_topk(
     return vals, idx
 
 
+def row_quantize(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int8 quantization: returns (q int8 [N, D],
+    scales f32 [1, N]) with x ≈ q · scalesᵀ. Scales are stored pre-
+    transposed so kernel tiles broadcast over the score columns without an
+    in-kernel relayout. Zero rows get scale 0 (dequantize to 0)."""
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)          # [N, 1]
+    scale = absmax / 127.0
+    q = jnp.where(
+        scale > 0, jnp.round(x / jnp.maximum(scale, 1e-30)), 0.0
+    ).astype(jnp.int8)
+    return q, scale.reshape(1, -1)
+
+
+def _kernel_int8(
+    qu_ref, su_ref, qi_ref, si_ref, vals_ref, idx_ref, acc_vals, acc_idx,
+    *, k, tile,
+):
+    """int8×int8 MXU score tile, dequantized by su·si before the fold."""
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _():
+        acc_vals[:] = jnp.full_like(acc_vals, NEG_INF)
+        acc_idx[:] = jnp.zeros_like(acc_idx)
+
+    raw = jax.lax.dot_general(
+        qu_ref[:], qi_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [B, T] int32
+    scores = raw.astype(jnp.float32) * su_ref[:] * si_ref[:]
+    vals, idx = _fold_topk(acc_vals[:], acc_idx[:], scores, step * tile, k)
+    acc_vals[:] = vals
+    acc_idx[:] = idx
+
+    @pl.when(step == nsteps - 1)
+    def _():
+        vals_ref[:] = acc_vals[:]
+        idx_ref[:] = acc_idx[:]
+
+
+def _kernel_int8_masked(
+    qu_ref, su_ref, qi_ref, si_ref, excl_ref, vals_ref, idx_ref,
+    acc_vals, acc_idx, *, k, tile,
+):
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _():
+        acc_vals[:] = jnp.full_like(acc_vals, NEG_INF)
+        acc_idx[:] = jnp.zeros_like(acc_idx)
+
+    raw = jax.lax.dot_general(
+        qu_ref[:], qi_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = raw.astype(jnp.float32) * su_ref[:] * si_ref[:]
+    scores = jnp.where(excl_ref[:] != 0, NEG_INF, scores)
+    vals, idx = _fold_topk(acc_vals[:], acc_idx[:], scores, step * tile, k)
+    acc_vals[:] = vals
+    acc_idx[:] = idx
+
+    @pl.when(step == nsteps - 1)
+    def _():
+        vals_ref[:] = acc_vals[:]
+        idx_ref[:] = acc_idx[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def streaming_mips_topk_int8(
+    user_emb: jnp.ndarray,     # f32 [B, D]
+    q_items: jnp.ndarray,      # int8 [I, D] (row_quantize)
+    item_scales: jnp.ndarray,  # f32 [1, I]
+    k: int,
+    excl_mask: Optional[jnp.ndarray] = None,   # int8 [B, I] (1 = excluded)
+    tile: int = 512,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantized streaming retrieval: the item catalog streams through VMEM
+    as int8 (4× less HBM traffic than f32 — the binding resource of the
+    catalog sweep) and scores come off the int8×int8 MXU path at double
+    throughput. Users are row-quantized on the fly; the dequantized score
+    su·si·(qu·qi) approximates u·i to ~1% relative — an approximate-
+    retrieval tradeoff the f32 kernels don't make (see test overlap
+    floors)."""
+    b, d = user_emb.shape
+    i = q_items.shape[0]
+    assert i % tile == 0, (i, tile)
+    assert item_scales.shape == (1, i)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    qu, su = row_quantize(user_emb)
+    su_col = su.reshape(-1, 1)   # [B, 1] broadcast over score columns
+
+    in_specs = [
+        pl.BlockSpec((b, d), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, 1), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, d), lambda s: (s, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda s: (0, s), memory_space=pltpu.VMEM),
+    ]
+    args = [qu, su_col, q_items, item_scales]
+    kernel = functools.partial(_kernel_int8, k=k, tile=tile)
+    if excl_mask is not None:
+        assert excl_mask.shape == (b, i)
+        in_specs.append(
+            pl.BlockSpec((b, tile), lambda s: (0, s), memory_space=pltpu.VMEM)
+        )
+        args.append(excl_mask)
+        kernel = functools.partial(_kernel_int8_masked, k=k, tile=tile)
+
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=(i // tile,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((b, k), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return vals, idx
+
+
 def exclusion_mask(
     num_items: int,
     exclude_items: jnp.ndarray,
