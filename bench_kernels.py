@@ -13,20 +13,33 @@ import time
 import numpy as np
 
 
-def timeit(f, n=10, loops=4):
-    """Min over several loop-amortized runs. Loop amortization factors out
-    the remote-tunnel round-trip latency (tens of ms per blocking call on a
-    degraded relay); the min over loops drops stall outliers."""
+def _sync(r):
+    """Real execution barrier: D2H one scalar of the result.
+
+    On the axon relay ``block_until_ready`` is NOT a completion barrier for
+    Pallas-kernel outputs until the process has done its first
+    device→host transfer (measured: a streaming-topk 'completes' in 0.03 ms
+    pre-D2H and 8.3 ms post-D2H — the former is fire-and-forget). A scalar
+    download forces true completion of everything it depends on."""
     import jax
 
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def timeit(f, n=10, loops=4):
+    """Min over several loop-amortized runs, each loop closed by a scalar
+    D2H barrier (see ``_sync``). Loop amortization factors out the
+    remote-tunnel round-trip latency; the min over loops drops stall
+    outliers."""
     r = f()
-    jax.block_until_ready(r)
+    _sync(r)
     best = float("inf")
     for _ in range(loops):
         t0 = time.perf_counter()
         for _ in range(n):
             r = f()
-        jax.block_until_ready(r)
+        _sync(r)
         best = min(best, (time.perf_counter() - t0) / n)
     return best
 
@@ -67,9 +80,14 @@ def main():
 
     rows = []
 
+    # NOTE: every jitted bench fn takes its operands as ARGUMENTS. Jitting a
+    # closure over large device constants embeds them in the executable,
+    # which on the axon relay permanently degrades later Pallas kernel
+    # launches ~100× (measured: a closure-jit propagate slows an unrelated
+    # streaming-topk call from 0.2ms to 36ms; the args form does not).
     dense = DenseAdjacency.from_graph(g)
-    f = jax.jit(lambda: propagate_dense(dense, xu, xi))
-    t = timeit(f)
+    f = jax.jit(propagate_dense)
+    t = timeit(lambda: f(dense, xu, xi))
     rows.append(Roofline(
         name="dense_propagate", seconds=t,
         flops=2 * 2 * U * I * D,                      # both directions
@@ -78,8 +96,8 @@ def main():
     ))
 
     bg = BlockedGraph.from_host_edges(eu, ei, U, I)
-    f = jax.jit(lambda: propagate_blocked(bg, xu, xi))
-    t = timeit(f)
+    fb = jax.jit(propagate_blocked)
+    t = timeit(lambda: fb(bg, xu, xi))
     c1 = bg.to_user.src.size
     c2 = bg.to_item.src.size
     rows.append(Roofline(
@@ -89,8 +107,8 @@ def main():
         peak_flops=peak_flops, peak_bytes=peak_bytes,
     ))
 
-    f = jax.jit(lambda: propagate_bipartite(g, xu, xi))
-    t = timeit(f)
+    fp = jax.jit(propagate_bipartite)
+    t = timeit(lambda: fp(g, xu, xi))
     rows.append(Roofline(
         name="plain_segsum", seconds=t,
         flops=2 * 2 * E * D,
@@ -99,8 +117,8 @@ def main():
     ))
 
     pg = PallasGraph.from_host_edges(eu, ei, U, I)
-    f = jax.jit(lambda: propagate_pallas(pg, xu, xi))
-    t = timeit(f)
+    fpl = jax.jit(propagate_pallas)
+    t = timeit(lambda: fpl(pg, xu, xi))
     e_pal = pg.to_user.src.size + pg.to_item.src.size
     rows.append(Roofline(
         name="pallas_segsum", seconds=t,
@@ -115,8 +133,8 @@ def main():
     idx = jnp.asarray(
         np.random.default_rng(1).integers(0, I, E).astype(np.int32)
     )
-    f = jax.jit(lambda: xi[idx])
-    t = timeit(f)
+    fg = jax.jit(lambda table, ids: table[ids])
+    t = timeit(lambda: fg(xi, idx))
     rows.append(Roofline(
         name="row_gather_floor", seconds=t,
         flops=0,

@@ -79,7 +79,18 @@ def mips_topk(
     return masked_topk(scores, k, exclude_items, exclude_count)
 
 
-STREAMING_MIN_ITEMS = 16384
+# Scores-matrix size above which the materializing path's [B, I] f32
+# intermediate is worth avoiding. Measured on v5e (D=64, k=12, true D2H
+# barrier — block_until_ready alone is NOT a completion barrier for Pallas
+# outputs on the axon relay, which made earlier streaming numbers look 40×
+# better than reality): XLA materializing beats the streaming kernel at
+# every shape that fits comfortably (7.3 vs 12.5 ms @ B=256, I=104k;
+# 15.2 vs 40.6 ms @ B=256, I=524k; parity at B=32), because the streaming
+# fold is VPU-bound. Streaming's real value is MEMORY: no [B, I] f32
+# intermediate, so it serves huge-catalog × large-batch sweeps the XLA
+# path would blow HBM on. The fold also VMEM-OOMs above B≈512.
+SCORES_BYTES_BUDGET = 512 << 20
+STREAMING_MAX_BATCH = 512
 
 
 def auto_mips_topk(
@@ -89,15 +100,18 @@ def auto_mips_topk(
     exclude_items: Optional[jnp.ndarray] = None,
     exclude_count: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Retrieval entry point: picks the Pallas streaming kernel on TPU for
-    large catalogs (XLA's wide top_k lowers to a full sort — ~40× slower at
-    104k items), the materializing XLA path otherwise."""
+    """Retrieval entry point: the materializing XLA path by default (it is
+    the fastest measured option wherever its [B, I] scores matrix fits);
+    the Pallas streaming kernel when that intermediate would exceed
+    ``SCORES_BYTES_BUDGET`` (memory-bound serving sweeps)."""
     num_items = item_emb.shape[0]
+    b = user_emb.shape[0]
     tile = 512
     if (
         jax.default_backend() == "tpu"
-        and num_items >= STREAMING_MIN_ITEMS
         and num_items % tile == 0
+        and b <= STREAMING_MAX_BATCH
+        and b * num_items * 4 > SCORES_BYTES_BUDGET
     ):
         from .topk_pallas import (
             exclusion_mask,

@@ -7,6 +7,15 @@ item tiles through VMEM: each grid step computes one [B, T] score tile on
 the MXU and folds it into a running [B, k] top-k held in VMEM scratch, so
 HBM sees only the item table once and k results per user.
 
+Honest measurement (v5e, D=64, k=12, real D2H barrier): the fold is
+VPU-bound, so the XLA materializing path is FASTER wherever its scores
+matrix fits (7.3 vs 12.5 ms at B=256/I=104k) and this kernel only matches
+it at small B. Its role is the memory-constrained regime — [B, I] f32
+would blow the budget — which is how ``ops/topk.auto_mips_topk`` now
+dispatches. (Round-1 notes claimed 40×; that measurement predates the
+discovery that ``block_until_ready`` is not a completion barrier for
+Pallas outputs on the axon relay.)
+
 The running top-k fold uses k iterative max-extractions over the
 [B, T + k] candidate block (k is small — 12 for MAP@12 retrieval); each
 extraction is one VPU max-reduction + masked writeback, avoiding any
@@ -235,13 +244,13 @@ def streaming_mips_topk_int8(
     tile: int = 512,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Quantized streaming retrieval: the item catalog streams through VMEM
-    as int8 (4× less HBM traffic than f32 — the binding resource of the
-    catalog sweep) and scores come off the int8×int8 MXU path at double
-    throughput. Users are row-quantized on the fly; the dequantized score
-    su·si·(qu·qi) approximates u·i to ~1% relative — an approximate-
-    retrieval tradeoff the f32 kernels don't make (see test overlap
-    floors)."""
+    """Quantized streaming retrieval: the item catalog lives and streams as
+    int8 — 4× less HBM capacity and traffic than f32, which is the point
+    (time is ≈ parity with the f32 streaming kernel: the top-k fold is
+    VPU-bound, measured with a true D2H barrier). Users are row-quantized
+    on the fly; the dequantized score su·si·(qu·qi) approximates u·i to
+    ~1% relative — an approximate-retrieval tradeoff the f32 kernels
+    don't make (98% top-10 overlap at 104k items; see test floors)."""
     b, d = user_emb.shape
     i = q_items.shape[0]
     assert i % tile == 0, (i, tile)

@@ -9,9 +9,9 @@ per server, every request reuses it):
 * :class:`RetrievalServer` — embedding-table retrieval (stage 1). Holds the
   user/item embedding tables exported by the LightGCN/PinSAGE pipelines and
   answers ``recommend(user_ids)`` with exclusion-masked top-k MIPS
-  (``ops/topk.auto_mips_topk`` → the Pallas streaming kernel at catalog
-  scale). Seen-item exclusion mirrors the reference's train-item filtering
-  (``utils/metrics_lightgcn.py:132-142``).
+  (``ops/topk.auto_mips_topk``: XLA materializing path while the scores
+  matrix fits, Pallas streaming beyond). Seen-item exclusion mirrors the
+  reference's train-item filtering (``utils/metrics_lightgcn.py:132-142``).
 * :class:`RankingServer` — candidate re-ranking (stage 2). Matcher
   candidates → padded subgraph batch → hetero SAGE ``infer`` → top-k item
   ids, i.e. the ``run_submission.py:48-69`` flow as a reusable service.

@@ -1,6 +1,7 @@
 """Pallas streaming MIPS top-k vs the XLA materializing path (interpreter
-mode on the CPU backend; the same kernel runs compiled on TPU — measured
-0.05 ms vs 2.0 ms XLA at 104k-item catalog scale, exact index match)."""
+mode on the CPU backend; the same kernel runs compiled on TPU with exact
+index match — see ops/topk_pallas.py module docstring for the measured
+XLA-vs-streaming dispatch picture)."""
 import jax.numpy as jnp
 import numpy as np
 import pytest
