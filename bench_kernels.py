@@ -14,17 +14,19 @@ import numpy as np
 
 
 def _sync(r):
-    """Real execution barrier: D2H one scalar of the result.
+    """Real execution barrier: D2H one scalar of EVERY result leaf.
 
     On the axon relay ``block_until_ready`` is NOT a completion barrier for
     Pallas-kernel outputs until the process has done its first
     device→host transfer (measured: a streaming-topk 'completes' in 0.03 ms
     pre-D2H and 8.3 ms post-D2H — the former is fire-and-forget). A scalar
-    download forces true completion of everything it depends on."""
+    download forces true completion of everything it depends on; every
+    leaf is barriered because independent outputs (e.g. the two pallas
+    calls of propagate) do not depend on each other."""
     import jax
 
-    leaf = jax.tree_util.tree_leaves(r)[0]
-    np.asarray(leaf[(0,) * leaf.ndim])
+    for leaf in jax.tree_util.tree_leaves(r):
+        np.asarray(leaf[(0,) * leaf.ndim])
 
 
 def timeit(f, n=10, loops=4):

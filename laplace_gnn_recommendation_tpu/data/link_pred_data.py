@@ -128,15 +128,18 @@ def _extract_extra(g: HeteroGraph, num_items: int):
     if EDGE_KEY_EXTRA not in g.edges:
         return None, 0, None
     src, dst = g.edges[EDGE_KEY_EXTRA]
-    m = np.zeros(num_items, np.int32)
-    m[np.asarray(src, np.int64)] = np.asarray(dst, np.int32)
-    num_extra = g.num_nodes.get(
+    num_extra = int(g.num_nodes.get(
         EDGE_KEY_EXTRA.dst, int(np.max(dst, initial=0)) + 1
-    )
+    ))
     ef = g.node_features.get(NODE_EXTRA)
+    # items without a has_color edge carry -1: the encoder masks their
+    # extra↔item messages entirely (no edge → no message) instead of
+    # silently conflating them with colour group 0
+    m = np.full(num_items, -1, np.int32)
+    m[np.asarray(src, np.int64)] = np.asarray(dst, np.int32)
     return (
         jnp.asarray(m),
-        int(num_extra),
+        num_extra,
         None if ef is None else jnp.asarray(ef.astype(np.int32)),
     )
 

@@ -294,6 +294,7 @@ def encode(
 
     x_extra = None
     e_of_item = None
+    has_extra_edge = None
     if extra_active:
         if extra_features is None:
             # identity feature: each colour-group node embeds its own id
@@ -303,7 +304,10 @@ def encode(
         x_extra = _embed_features(
             params["embeddings"][NODE_EXTRA], extra_features
         )
-        e_of_item = jnp.clip(item_extra_ids[batch.item_ids], 0, ne - 1)
+        raw_extra = item_extra_ids[batch.item_ids]
+        # -1 marks items with no has_color edge: no message either way
+        has_extra_edge = batch.item_mask & (raw_extra >= 0)
+        e_of_item = jnp.clip(raw_extra, 0, ne - 1)
 
     num_layers = len(params["convs"])
     nu = x_user.shape[0]
@@ -335,20 +339,20 @@ def encode(
 
         out_e = None
         if extra_active:
-            # extra → item: every item has exactly one has_color edge, so
-            # the per-destination aggregation is the single message itself
-            # (identical under add/mean/max)
+            # extra → item: an item has at most one has_color edge, so the
+            # per-destination aggregation is the single message itself
+            # (identical under add/mean/max); edge-less items get none
             p = layer["extra_to_item"]
-            agg_ie = x_extra[e_of_item] * batch.item_mask[:, None]
+            agg_ie = x_extra[e_of_item] * has_extra_edge[:, None]
             item_stacks.append(
                 agg_ie @ p["lin_l"]["w"] + p["lin_l"]["b"]
                 + x_item @ p["lin_r"]["w"]
             )
             # item → extra along the same edges (dst = colour groups)
             p = layer["item_to_extra"]
-            msgs_e = x_item * batch.item_mask[:, None]
+            msgs_e = x_item * has_extra_edge[:, None]
             agg_e = _aggregate(
-                msgs_e, e_of_item, batch.item_mask,
+                msgs_e, e_of_item, has_extra_edge,
                 x_extra.shape[0], cfg.conv_agg_type,
             )
             out_e = (

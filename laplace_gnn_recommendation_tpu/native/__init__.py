@@ -92,12 +92,34 @@ def _load() -> Optional[ctypes.CDLL]:
         i32p, i32p, u8p,
         i32p, i32p, f32p, u8p, i32p,
         i32p, i32p, i32p, i32p,
+        i32p, i32p, i64p, i64p, ctypes.c_int64,
         i64p,
     ]
     return lib
 
 
 LIB = _load()
+
+# Persistent slot/stamp scratch for assemble_train_batch, keyed by graph
+# size. Generation stamping lets the C side skip the O(V) per-call clear:
+# a slot entry is valid only when its stamp equals the call's generation.
+_ASM_SCRATCH: dict = {}
+
+
+def _asm_scratch(num_users: int, num_items: int) -> dict:
+    key = (num_users, num_items)
+    sc = _ASM_SCRATCH.get(key)
+    if sc is None:
+        sc = dict(
+            uslot=np.empty(num_users, np.int32),
+            islot=np.empty(num_items, np.int32),
+            ustamp=np.zeros(num_users, np.int64),
+            istamp=np.zeros(num_items, np.int64),
+            gen=0,
+        )
+        _ASM_SCRATCH[key] = sc
+    sc["gen"] += 1  # unique per call; stamps start at 0 so gen starts at 1
+    return sc
 
 
 def nhop_sample(
@@ -164,6 +186,7 @@ def assemble_train_batch(
         seeds_out=np.empty(b, np.int32),
     )
     stats = np.zeros(1, np.int64)
+    sc = _asm_scratch(num_users, num_items)
     rc = LIB.assemble_train_batch(
         np.ascontiguousarray(user_row_ptr, np.int64),
         np.ascontiguousarray(user_cols, np.int32),
@@ -182,6 +205,7 @@ def assemble_train_batch(
         out["label_mask"], out["label_item_global"],
         out["gt_items"], out["gt_count"],
         out["seed_slots"], out["seeds_out"],
+        sc["uslot"], sc["islot"], sc["ustamp"], sc["istamp"], sc["gen"],
         stats,
     )
     if rc != 0:

@@ -258,7 +258,7 @@ void walk_step(
 //     when total_edges/num_neg > 100, else distinct draws excluding the
 //     sampled positives (:190-230)
 //   * node slots: ascending global id over the batch's touched nodes
-//     (stamp arrays + one counting pass — no sort)
+//     (generation-stamped scratch + sort of the touched set only)
 //   * per-user edge order: positive edges then hop edges
 //
 // Returns 0 on success; -1 when a node budget or the edge buffer would
@@ -281,6 +281,9 @@ int64_t assemble_train_batch(
     uint8_t* label_mask, int32_t* label_item_global,
     int32_t* gt_items, int32_t* gt_count,
     int32_t* seed_slots, int32_t* seeds_out,
+    int32_t* uslot, int32_t* islot,        // persistent [num_users]/[num_items]
+    int64_t* ustamp, int64_t* istamp,      // persistent generation stamps
+    int64_t gen,                           // this call's generation (unique)
     int64_t* stats /* [label_truncations] */) {
   // --- per-seed sampling (parallel) -------------------------------------
   std::vector<std::vector<int32_t>> hsrcs(num_seeds), hdsts(num_seeds);
@@ -313,7 +316,9 @@ int64_t assemble_train_batch(
                      : (int64_t)(neg_ratio * (double)n_pos);
       if (num_neg > 0) {
         const int64_t bound = std::max<int64_t>(id_max, 1);
-        if (num_neg > 0 && total_edges / num_neg > 100) {
+        // float division to match the Python selector exactly
+        // (total_edges/num_neg in (100,101) must take the fast path too)
+        if ((double)total_edges / (double)num_neg > 100.0) {
           for (int64_t i = 0; i < num_neg; ++i)
             negs[s].push_back((int32_t)rng.bounded((uint64_t)bound));
         } else {
@@ -336,30 +341,41 @@ int64_t assemble_train_batch(
     }
   }
 
-  // --- slot assignment (serial): ascending-global-id slots ---------------
-  std::vector<int32_t> uslot(num_users, -1), islot(num_items, -1);
+  // --- slot assignment (serial): ascending-global-id slots ----------------
+  // Generation-stamped persistent buffers (caller-owned): no per-call
+  // O(num_users + num_items) allocation/zeroing/scan — cost is
+  // O(touched · log touched), which is what the batch actually touches.
+  std::vector<int32_t> u_touch, i_touch;
+  u_touch.reserve(256);
+  i_touch.reserve(1024);
+  auto mark_u = [&](int32_t u) {
+    if (ustamp[u] != gen) { ustamp[u] = gen; u_touch.push_back(u); }
+  };
+  auto mark_i = [&](int32_t a) {
+    if (istamp[a] != gen) { istamp[a] = gen; i_touch.push_back(a); }
+  };
   for (int64_t s = 0; s < num_seeds; ++s) {
-    uslot[seeds[s]] = 0;
-    for (int32_t u : hsrcs[s]) uslot[u] = 0;
+    mark_u(seeds[s]);
+    for (int32_t u : hsrcs[s]) mark_u(u);
     const int32_t u = seeds[s];
     for (int64_t e = user_row_ptr[u]; e < user_row_ptr[u + 1]; ++e)
-      islot[user_cols[e]] = 0;
-    for (int32_t a : negs[s]) islot[a] = 0;
-    for (int32_t a : hdsts[s]) islot[a] = 0;
+      mark_i(user_cols[e]);
+    for (int32_t a : negs[s]) mark_i(a);
+    for (int32_t a : hdsts[s]) mark_i(a);
   }
-  int64_t nu = 0, ni = 0;
-  for (int64_t i = 0; i < num_users; ++i)
-    if (uslot[i] == 0) {
-      if (nu >= num_user_slots) return -1;
-      uslot[i] = (int32_t)nu;
-      user_ids[nu++] = (int32_t)i;
-    }
-  for (int64_t i = 0; i < num_items; ++i)
-    if (islot[i] == 0) {
-      if (ni >= num_item_slots) return -1;
-      islot[i] = (int32_t)ni;
-      item_ids[ni++] = (int32_t)i;
-    }
+  const int64_t nu = (int64_t)u_touch.size();
+  const int64_t ni = (int64_t)i_touch.size();
+  if (nu > num_user_slots || ni > num_item_slots) return -1;
+  std::sort(u_touch.begin(), u_touch.end());
+  std::sort(i_touch.begin(), i_touch.end());
+  for (int64_t r = 0; r < nu; ++r) {
+    uslot[u_touch[r]] = (int32_t)r;
+    user_ids[r] = u_touch[r];
+  }
+  for (int64_t r = 0; r < ni; ++r) {
+    islot[i_touch[r]] = (int32_t)r;
+    item_ids[r] = i_touch[r];
+  }
   for (int64_t i = nu; i < num_user_slots; ++i) user_ids[i] = 0;
   for (int64_t i = ni; i < num_item_slots; ++i) item_ids[i] = 0;
   for (int64_t i = 0; i < num_user_slots; ++i) user_mask[i] = i < nu;

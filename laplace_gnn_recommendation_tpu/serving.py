@@ -88,16 +88,27 @@ class RetrievalServer:
 
             num_items = self.num_items
 
+            # the quantized tables ride as ARGUMENTS, not jit-closure
+            # constants (closure-jit over large device buffers degrades
+            # later Pallas launches on the axon relay — see bench_kernels)
             @partial(jax.jit, static_argnames=("k",))
-            def _step(uvec, item_emb, ex, exc, k):
+            def _q_step(uvec, q_items, scales, ex, exc, k):
                 mask = exclusion_mask(num_items, ex, exc)
                 return streaming_mips_topk_int8(
-                    uvec, self._q_items, self._item_scales, k, excl_mask=mask
+                    uvec, q_items, scales, k, excl_mask=mask
                 )
 
             @partial(jax.jit, static_argnames=("k",))
+            def _q_step_plain(uvec, q_items, scales, k):
+                return streaming_mips_topk_int8(uvec, q_items, scales, k)
+
+            def _step(uvec, item_emb, ex, exc, k):
+                return _q_step(
+                    uvec, self._q_items, self._item_scales, ex, exc, k
+                )
+
             def _step_plain(uvec, item_emb, k):
-                return streaming_mips_topk_int8(
+                return _q_step_plain(
                     uvec, self._q_items, self._item_scales, k
                 )
         else:
@@ -241,15 +252,24 @@ class RankingServer:
         self, user_ids: Sequence[int], k: Optional[int] = None
     ) -> np.ndarray:
         """Top-k candidate item ids per user ([N, k], -1 pads rows whose
-        candidate pool ran short)."""
+        candidate pool ran short — including cold users with no
+        interactions in the serving split, who get all -1)."""
         k = self.cfg.k if k is None else int(k)
         users = np.asarray(user_ids, np.int64)
         n = len(users)
         b = self.cfg.batch_size
         out = np.full((n, k), -1, np.int32)
-        for s in range(0, n, b):
-            e = min(s + b, n)
-            chunk = users[s:e]
+        # the candidate grid is budgets.labels_per_user wide; top_k cannot
+        # ask for more (mirrors make_eval_step's clamp)
+        k_run = min(k, self.sampler.budgets.labels_per_user)
+        # cold users (no interactions in this split) cannot be sampled —
+        # the per-user positive draw requires degree ≥ 1; they answer -1
+        warm_mask = self.sampler.users.degrees[users] > 0
+        warm_pos = np.nonzero(warm_mask)[0]
+        warm_users = users[warm_mask]
+        for s in range(0, len(warm_users), b):
+            e = min(s + b, len(warm_users))
+            chunk = warm_users[s:e]
             if e - s < b:
                 chunk = np.concatenate([chunk, np.full(b - (e - s), chunk[-1])])
             batch = self.sampler.sample_batch(chunk, valid_rows=e - s)
@@ -259,7 +279,7 @@ class RankingServer:
             else:
                 seen = seen_count = None
             items, _ = self._infer_topk(
-                self.params, self.bn_state, batch, seen, seen_count, k
+                self.params, self.bn_state, batch, seen, seen_count, k_run
             )
-            out[s:e] = np.asarray(items)[: e - s]
+            out[warm_pos[s:e], :k_run] = np.asarray(items)[: e - s]
         return out
