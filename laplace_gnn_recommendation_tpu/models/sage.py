@@ -264,9 +264,10 @@ def encode(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Run embeddings + hetero SAGE stack. Returns (z_user, z_item, bn_state).
 
-    ``item_extra_ids`` maps every global item to its colour-group node (the
-    ``has_color`` edge list is exactly one edge per item, reference
-    ``run_preprocessing_fashion.py:86-112``). When given — and the params
+    ``item_extra_ids`` maps every global item to its colour-group node, or
+    -1 for items with no ``has_color`` edge (the edge list carries at most
+    one edge per item, reference ``run_preprocessing_fashion.py:86-112``;
+    edge-less items exchange no extra-type messages). When given — and the params
     were built with ``num_extra > 0`` — all colour-group nodes join the
     batch (the type is tiny, so no sampling is needed) and items aggregate
     over both incoming edge types."""

@@ -186,3 +186,72 @@ class TestExtraPipeline:
         )
         assert np.isfinite(stats.loss)
         assert stats.loss < 0.75   # moves off the ln(2)≈0.693 start
+
+
+class TestItemsWithoutColorEdge:
+    """Items with NO has_color edge (possible on real H&M slices where the
+    colour column is missing for some articles) must receive and send no
+    extra-type messages — not be silently conflated with colour group 0."""
+
+    def _data_missing(self, drop=(0, 7, 13)):
+        g = random_hetero_graph(
+            seed=9, num_users=40, num_items=30, avg_degree=5,
+            num_extra=NUM_EXTRA,
+        )
+        from laplace_gnn_recommendation_tpu.constants import EDGE_KEY_EXTRA
+        from laplace_gnn_recommendation_tpu.data.graph import HeteroGraph
+
+        src, dst = g.edges[EDGE_KEY_EXTRA]
+        keep = ~np.isin(src, np.asarray(drop))
+        edges = dict(g.edges)
+        edges[EDGE_KEY_EXTRA] = (src[keep], dst[keep])
+        g2 = HeteroGraph(
+            node_features=g.node_features, edges=edges,
+            num_nodes=g.num_nodes,
+        )
+        cfg = make_cfg(num_gnn_layers=1, batch_size=6)
+        return g2, cfg, create_link_pred_data(g2, cfg)
+
+    def test_extract_marks_uncovered_items(self):
+        _, _, data = self._data_missing()
+        ids = np.asarray(data.item_extra_ids)
+        assert (ids[[0, 7, 13]] == -1).all()
+        covered = np.setdiff1d(np.arange(30), [0, 7, 13])
+        assert (ids[covered] >= 0).all() and (ids[covered] < NUM_EXTRA).all()
+
+    def test_uncovered_item_embedding_invariant_to_colours(self):
+        """With ONE GNN layer, an edge-less item's encoding cannot depend on
+        the colour-group embedding table; a covered item's must."""
+        g2, cfg, data = self._data_missing()
+        info = sage.get_feature_info(g2)
+        params, bn_state = sage.init_sage_params(
+            jax.random.PRNGKey(0), cfg, info, num_extra=data.num_extra
+        )
+        train_s, _, _ = create_samplers(cfg, data, randomization=False)
+        batch = next(iter(train_s.epoch_batches(shuffle=False)))
+
+        perturbed = jax.tree.map(lambda x: x, params)
+        perturbed["embeddings"] = dict(params["embeddings"])
+        perturbed["embeddings"][NODE_EXTRA] = [
+            t + 1.0 for t in params["embeddings"][NODE_EXTRA]
+        ]
+        kw = dict(
+            item_extra_ids=data.item_extra_ids,
+            extra_features=data.extra_features,
+        )
+        _, z1, _ = sage.encode(
+            params, bn_state, batch, data.user_features,
+            data.item_features, cfg, **kw,
+        )
+        _, z2, _ = sage.encode(
+            perturbed, bn_state, batch, data.user_features,
+            data.item_features, cfg, **kw,
+        )
+        z1, z2 = np.asarray(z1), np.asarray(z2)
+        item_ids = np.asarray(batch.item_ids)
+        mask = np.asarray(batch.item_mask)
+        uncovered = mask & np.isin(item_ids, [0, 7, 13])
+        covered = mask & ~np.isin(item_ids, [0, 7, 13])
+        assert uncovered.any() and covered.any()
+        np.testing.assert_allclose(z1[uncovered], z2[uncovered], atol=1e-6)
+        assert np.abs(z1[covered] - z2[covered]).max() > 1e-4

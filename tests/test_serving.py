@@ -108,6 +108,55 @@ class TestRankingServer:
         recs = srv.recommend(np.array([3, 4, 5]), k=3)
         assert recs.shape == (3, 3)
 
+    def test_cold_users_get_all_minus_one(self, served):
+        """Users with no interactions in the serving split cannot be
+        subgraph-sampled (the positive draw needs degree ≥ 1); they answer
+        all -1 while interleaved warm users are still served in place."""
+        srv, data = served
+        g2 = random_hetero_graph(
+            seed=6, num_users=50, num_items=40, avg_degree=6
+        )
+        # extend to 52 users; 50 and 51 have features but zero edges
+        from laplace_gnn_recommendation_tpu.constants import EDGE_KEY
+        from laplace_gnn_recommendation_tpu.data.graph import HeteroGraph
+
+        uf = g2.node_features[EDGE_KEY.src]
+        uf = np.concatenate([uf, uf[:2]], axis=0)
+        g_cold = HeteroGraph(
+            node_features={**g2.node_features, EDGE_KEY.src: uf},
+            edges=g2.edges,
+            num_nodes={**g2.num_nodes, EDGE_KEY.src: 52},
+        )
+        data2 = create_link_pred_data(g_cold, srv.cfg)
+        srv2 = RankingServer(srv.cfg, data2, srv.params, srv.bn_state)
+        users = np.array([0, 50, 1, 51, 2])
+        recs = srv2.recommend(users, k=4)
+        assert recs.shape == (5, 4)
+        assert (recs[1] == -1).all() and (recs[3] == -1).all()
+        # warm rows sit at their requested positions and are served
+        # (fresh server: the sampler RNG advances per recommend() call)
+        srv3 = RankingServer(srv.cfg, data2, srv.params, srv.bn_state)
+        warm_alone = srv3.recommend(np.array([0, 1, 2]), k=4)
+        np.testing.assert_array_equal(recs[[0, 2, 4]], warm_alone)
+        assert (recs[0] >= 0).any()
+
+    def test_k_larger_than_candidate_grid_clamps(self, served):
+        """k beyond budgets.labels_per_user cannot be satisfied — the grid
+        is only that wide. The result keeps shape [N, k] with -1 tails."""
+        srv, data = served
+        width = srv.sampler.budgets.labels_per_user
+        k = width + 7
+        # fresh servers: eval sampling consumes the sampler RNG per call
+        a = RankingServer(srv.cfg, data, srv.params, srv.bn_state)
+        recs = a.recommend(np.array([0, 1, 2]), k=k)
+        assert recs.shape == (3, k)
+        assert (recs[:, width:] == -1).all()
+        # and the clamped prefix matches a direct width-sized request
+        b = RankingServer(srv.cfg, data, srv.params, srv.bn_state)
+        np.testing.assert_array_equal(
+            recs[:, :width], b.recommend(np.array([0, 1, 2]), k=width)
+        )
+
     def test_reference_quirk_mode_allows_xor_positives(self, served):
         """exclude_seen=False reproduces run_submission.py:60-66 exactly:
         only label>0 edges are filtered, so positives no matcher proposed
