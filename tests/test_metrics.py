@@ -17,7 +17,12 @@ from laplace_gnn_recommendation_tpu.ops.metrics import (
     recall_precision_at_k,
     topk_hits,
 )
-from laplace_gnn_recommendation_tpu.ops.topk import apply_exclusion, masked_topk, mips_topk
+from laplace_gnn_recommendation_tpu.ops.topk import (
+    apply_exclusion,
+    hierarchical_topk,
+    masked_topk,
+    mips_topk,
+)
 
 
 def naive_metrics(topk, gts, k):
@@ -117,6 +122,61 @@ class TestTopK:
         vals, idx = mips_topk(jnp.asarray(u), jnp.asarray(it), 3)
         want = np.argsort(-(u @ it.T), axis=1)[:, :3]
         np.testing.assert_array_equal(np.asarray(idx), want)
+
+
+class TestHierarchicalTopK:
+    def test_matches_lax_topk_on_grouped_width(self):
+        """Width divisible by the group size with ≥ k groups takes the
+        two-stage path; values AND ids must match lax.top_k exactly on
+        tie-free random scores."""
+        import jax
+
+        rng = np.random.default_rng(7)
+        scores = jnp.asarray(rng.normal(size=(16, 2048)).astype(np.float32))
+        for k in (1, 5, 8):
+            v0, i0 = jax.lax.top_k(scores, k)
+            v1, i1 = hierarchical_topk(scores, k)
+            np.testing.assert_allclose(np.asarray(v0), np.asarray(v1))
+            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_adversarial_grouping(self):
+        """All true top-k packed into ONE group (the case a naive
+        one-candidate-per-group reduction gets wrong)."""
+        scores = np.zeros((2, 1024), np.float32)
+        scores[0, 300:305] = [9, 8, 7, 6, 5]     # all in group 1 (tg=256)
+        scores[1, ::200] = [5, 4, 3, 2, 1, 0.5]  # spread across groups
+        v, i = hierarchical_topk(jnp.asarray(scores), 5, group=256)
+        np.testing.assert_array_equal(np.asarray(i[0]), [300, 301, 302, 303, 304])
+        np.testing.assert_array_equal(np.asarray(i[1]), [0, 200, 400, 600, 800])
+
+    def test_ties_return_equal_values(self):
+        """Duplicate values across groups: values must still equal
+        lax.top_k's (ids may legally differ between ties)."""
+        import jax
+
+        rng = np.random.default_rng(8)
+        scores = jnp.asarray(
+            rng.integers(0, 10, (8, 1024)).astype(np.float32)
+        )
+        v0, _ = jax.lax.top_k(scores, 6)
+        v1, i1 = hierarchical_topk(scores, 6)
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1))
+        # returned ids really do carry the returned values
+        picked = np.take_along_axis(np.asarray(scores), np.asarray(i1), 1)
+        np.testing.assert_allclose(picked, np.asarray(v1))
+        # within a row, no id repeats
+        for row in np.asarray(i1):
+            assert len(set(row.tolist())) == len(row)
+
+    def test_fallback_on_indivisible_width(self):
+        import jax
+
+        rng = np.random.default_rng(9)
+        scores = jnp.asarray(rng.normal(size=(4, 100)).astype(np.float32))
+        v0, i0 = jax.lax.top_k(scores, 5)
+        v1, i1 = hierarchical_topk(scores, 5)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1))
 
 
 class TestShardedTopK:
