@@ -107,6 +107,10 @@ class Config:
     max_edges_per_batch: Optional[int] = None  # None → derived from fanout
     max_labels_per_user: Optional[int] = None
     artifact_dir: str = "data/derived"
+    # budget for densifying the per-batch subgraph adjacency so the SAGE
+    # convs ride the MXU instead of edge gathers + segment sums
+    # (models/sage.py encode); 0 disables. f32 A + Aᵀ must fit.
+    dense_bytes_budget: int = 256 << 20
 
     def print(self) -> None:
         print("\nConfiguration is:")

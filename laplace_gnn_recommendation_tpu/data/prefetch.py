@@ -9,16 +9,26 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterable, Iterator, TypeVar
+from typing import Callable, Iterable, Iterator, Optional, TypeVar
 
 T = TypeVar("T")
 
 _SENTINEL = object()
 
 
-def prefetch(iterable: Iterable[T], buffer_size: int = 2) -> Iterator[T]:
+def prefetch(
+    iterable: Iterable[T],
+    buffer_size: int = 2,
+    transform: Optional[Callable[[T], T]] = None,
+) -> Iterator[T]:
     """Iterate ``iterable`` on a background thread, ``buffer_size`` items
-    ahead. Exceptions on the worker re-raise at the consumer."""
+    ahead. Exceptions on the worker re-raise at the consumer.
+
+    ``transform`` runs on the worker thread — pass ``jax.device_put`` to
+    start the host→device copy of each batch while the device is busy with
+    the previous step (the transfer is async; the consumer's next step then
+    finds the buffers already on-chip instead of paying the copy on the
+    critical path)."""
     q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
 
     def worker():

@@ -315,6 +315,49 @@ def encode(
     ni = x_item.shape[0]
     emask = batch.edge_mask
 
+    # Dense-adjacency MXU fast path. The conv hot loop is otherwise per-edge
+    # gathers + segment sums, which on TPU are bound by the fixed row-gather
+    # rate (see ops/spmm_pallas.py notes), not by FLOPs or HBM bytes. When
+    # the [NU, NI] subgraph adjacency fits the budget we materialize it ONCE
+    # per step (a single scalar scatter of the edge mask) and every layer's
+    # aggregation in both directions — forward and backward — becomes a
+    # matmul against it. Entries count duplicate (u, i) edges, so add/mean
+    # results match the segment path exactly (mean divides by the same
+    # per-destination valid-edge count = A row/col sums). "max" aggregation
+    # is not a matmul; it keeps the segment path.
+    dense_budget = getattr(cfg, "dense_bytes_budget", 0) or 0
+    use_dense = (
+        cfg.conv_agg_type in ("add", "mean")
+        and 0 < 2 * nu * ni * 4 <= dense_budget
+    )
+    if use_dense:
+        adj = jnp.zeros((nu, ni), jnp.float32)
+        adj = adj.at[batch.edge_src, batch.edge_dst].add(
+            emask.astype(jnp.float32)
+        )
+        if cfg.conv_agg_type == "mean":
+            inv_deg_u = 1.0 / jnp.maximum(jnp.sum(adj, axis=1, keepdims=True), 1.0)
+            inv_deg_i = 1.0 / jnp.maximum(jnp.sum(adj, axis=0)[:, None], 1.0)
+
+    def _agg_user(x_item_cur):
+        """Aggregate item messages into user slots (dst = edge_src)."""
+        if use_dense:
+            agg = jnp.dot(adj, x_item_cur, preferred_element_type=jnp.float32)
+            return agg * inv_deg_u if cfg.conv_agg_type == "mean" else agg
+        msgs = jnp.where(emask[:, None], x_item_cur[batch.edge_dst], 0.0)
+        return _aggregate(msgs, batch.edge_src, emask, nu, cfg.conv_agg_type)
+
+    def _agg_item(x_user_cur):
+        """Aggregate user messages into item slots (dst = edge_dst)."""
+        if use_dense:
+            agg = jnp.einsum(
+                "ui,ud->id", adj, x_user_cur,
+                preferred_element_type=jnp.float32,
+            )
+            return agg * inv_deg_i if cfg.conv_agg_type == "mean" else agg
+        msgs = jnp.where(emask[:, None], x_user_cur[batch.edge_src], 0.0)
+        return _aggregate(msgs, batch.edge_dst, emask, ni, cfg.conv_agg_type)
+
     for li, layer in enumerate(params["convs"]):
         last = li == num_layers - 1
         if not last:
@@ -325,15 +368,13 @@ def encode(
                 x_extra = _dropout(k3, x_extra, cfg.p_dropout_features, train)
 
         # item → user along reverse edges (dst = user slots)
-        msgs_u = jnp.where(emask[:, None], x_item[batch.edge_dst], 0.0)
-        agg_u = _aggregate(msgs_u, batch.edge_src, emask, nu, cfg.conv_agg_type)
+        agg_u = _agg_user(x_item)
         p = layer["item_to_user"]
         out_u = agg_u @ p["lin_l"]["w"] + p["lin_l"]["b"] + x_user @ p["lin_r"]["w"]
         out_u = _combine_hetero([out_u], cfg.heterogeneous_prop_agg_type)
 
         # user → item along forward edges (dst = item slots)
-        msgs_i = jnp.where(emask[:, None], x_user[batch.edge_src], 0.0)
-        agg_i = _aggregate(msgs_i, batch.edge_dst, emask, ni, cfg.conv_agg_type)
+        agg_i = _agg_item(x_user)
         p = layer["user_to_item"]
         out_i = agg_i @ p["lin_l"]["w"] + p["lin_l"]["b"] + x_item @ p["lin_r"]["w"]
         item_stacks = [out_i]
