@@ -163,6 +163,10 @@ class LightGCNConfig:
     """When Ã + Ãᵀ fit in this many bytes as dense bf16, propagation runs as
     MXU matmuls (≈28× faster at ML-1M scale); 0 forces the segment-sum SpMM
     path (required for graphs at H&M scale)."""
+    propagation: str = "auto"
+    """Propagation operand: ``auto`` (sharded when the mesh's model axis > 1,
+    else dense when it fits ``dense_bytes_budget``, else blocked) |
+    ``dense`` | ``blocked`` | ``plain`` (segment-sum) | ``sharded``."""
 
     def print(self) -> None:
         print("\nConfiguration is:")

@@ -63,13 +63,24 @@ def lightgcn_forward(
     Dispatches on adjacency representation: :class:`DenseAdjacency` runs the
     MXU dense path (~28× faster at ML-1M scale), :class:`BlockedGraph` the
     blocked one-hot-matmul path (3.6× over plain segment-sum, for graphs too
-    large to densify), :class:`BipartiteGraph` the plain segment-sum path.
+    large to densify), :class:`ShardedBipartiteGraph` the multi-chip
+    shard_map path (row-sharded tables, all-gather + local sorted
+    segment-sum per direction), :class:`BipartiteGraph` the plain
+    segment-sum path.
     """
     from ..ops.spmm_blocked import BlockedGraph, lightgcn_propagate_blocked
+    from ..ops.spmm_sharded import (
+        ShardedBipartiteGraph,
+        lightgcn_propagate_sharded,
+    )
 
     if isinstance(graph, DenseAdjacency):
         users_final, items_final = lightgcn_propagate_dense(
             graph, params.user_emb, params.item_emb, num_iterations
+        )
+    elif isinstance(graph, ShardedBipartiteGraph):
+        users_final, items_final = lightgcn_propagate_sharded(
+            graph.mesh, graph, params.user_emb, params.item_emb, num_iterations
         )
     elif isinstance(graph, BlockedGraph):
         users_final, items_final = lightgcn_propagate_blocked(

@@ -75,8 +75,16 @@ def init_sage_params(
     key: jax.Array, cfg: Config, feature_info: Dict[str, FeatureInfo],
     float_dims: Optional[Dict[str, int]] = None,
     num_extra: int = 0,
+    mesh=None,
 ) -> Tuple[dict, dict]:
     """Returns (params, bn_state) pytrees.
+
+    With a ``mesh`` whose ``model`` axis is >1, every categorical feature
+    table is row-padded to divide the axis and placed row-sharded — the
+    production scale-out for tables past one chip's HBM (H&M postal-code
+    cardinality ~1M; SURVEY §2b ``nn.Embedding`` obligation). Lookups then
+    go through ``ops/embedding.sharded_embedding_lookup``. The pad is
+    appended AFTER init so true rows match the unsharded run bit-for-bit.
 
     ``float_dims[node_type]`` declares non-categorical feature widths (e.g.
     the 512-d CLIP image/text embeddings H&M preprocessing concatenates,
@@ -159,18 +167,48 @@ def init_sage_params(
         params["decoder"].append(
             _linear_init(next(keys), dec_dims[i], dec_dims[i + 1], bias=True)
         )
+
+    if mesh is not None:
+        from ..parallel.mesh import MODEL_AXIS, round_up, row_sharding
+
+        parts = mesh.shape[MODEL_AXIS]
+        if parts > 1:
+            sharding = row_sharding(mesh)
+            for node_type, tables in params["embeddings"].items():
+                params["embeddings"][node_type] = [
+                    jax.device_put(
+                        jnp.pad(
+                            t,
+                            ((0, round_up(t.shape[0], parts) - t.shape[0]), (0, 0)),
+                        ),
+                        sharding,
+                    )
+                    for t in tables
+                ]
     return params, bn_state
 
 
 def _embed_features(
-    tables: List[jnp.ndarray], x: jnp.ndarray
+    tables: List[jnp.ndarray], x: jnp.ndarray, mesh=None,
 ) -> jnp.ndarray:
     """Concat per-column embedding lookups with max_norm=1 renorm
-    (reference ``model/encoder_decoder.py:103-125``)."""
+    (reference ``model/encoder_decoder.py:103-125``).
+
+    With a model-sharded ``mesh`` the gather runs through the cross-shard
+    lookup (``ops/embedding.sharded_embedding_lookup``): each shard
+    contributes the rows it owns, one psum over the model axis assembles
+    the replicated [B, d] block."""
+    lookup = None
+    if mesh is not None:
+        from ..ops.embedding import sharded_embedding_lookup
+        from ..parallel.mesh import MODEL_AXIS
+
+        if mesh.shape[MODEL_AXIS] > 1:
+            lookup = partial(sharded_embedding_lookup, mesh)
     cols = []
     for i, table in enumerate(tables):
         ids = jnp.clip(x[:, i], 0, table.shape[0] - 1)
-        rows = table[ids]
+        rows = lookup(table, ids) if lookup is not None else table[ids]
         norm = jnp.linalg.norm(rows, axis=-1, keepdims=True)
         rows = rows / jnp.maximum(norm, 1.0)
         cols.append(rows)
@@ -261,6 +299,7 @@ def encode(
     item_features_float: Optional[jnp.ndarray] = None,  # f32 [num_items, Dfi]
     item_extra_ids: Optional[jnp.ndarray] = None,       # int32 [num_items]
     extra_features: Optional[jnp.ndarray] = None,       # int32 [num_extra, F_e]
+    mesh=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Run embeddings + hetero SAGE stack. Returns (z_user, z_item, bn_state).
 
@@ -277,10 +316,10 @@ def encode(
         item_extra_ids is not None and NODE_EXTRA in params["embeddings"]
     )
     x_user = _embed_features(
-        params["embeddings"][NODE_USER], user_features[batch.user_ids]
+        params["embeddings"][NODE_USER], user_features[batch.user_ids], mesh
     )
     x_item = _embed_features(
-        params["embeddings"][NODE_ITEM], item_features[batch.item_ids]
+        params["embeddings"][NODE_ITEM], item_features[batch.item_ids], mesh
     )
     if user_features_float is not None:
         x_user = jnp.concatenate(
@@ -303,7 +342,7 @@ def encode(
             extra_features = jnp.arange(ne, dtype=jnp.int32)[:, None]
         ne = extra_features.shape[0]
         x_extra = _embed_features(
-            params["embeddings"][NODE_EXTRA], extra_features
+            params["embeddings"][NODE_EXTRA], extra_features, mesh
         )
         raw_extra = item_extra_ids[batch.item_ids]
         # -1 marks items with no has_color edge: no message either way
@@ -460,7 +499,7 @@ def forward(
     user_features, item_features, cfg: Config,
     train: bool = False, rng: Optional[jax.Array] = None,
     user_features_float=None, item_features_float=None,
-    item_extra_ids=None, extra_features=None,
+    item_extra_ids=None, extra_features=None, mesh=None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Full model: logits [B, L] + new bn state (reference
     ``Encoder_Decoder_Model.forward``, ``model/encoder_decoder.py:135-153``)."""
@@ -470,7 +509,7 @@ def forward(
     z_u, z_i, bn_state = encode(
         params, bn_state, batch, user_features, item_features, cfg, train, k1,
         user_features_float, item_features_float, item_extra_ids,
-        extra_features,
+        extra_features, mesh,
     )
     logits = decode(params, z_u, z_i, batch, cfg, train, k2)
     return logits, bn_state
@@ -480,7 +519,7 @@ def infer(
     params, bn_state, batch: SubgraphBatch,
     user_features, item_features, cfg: Config,
     user_features_float=None, item_features_float=None,
-    item_extra_ids=None, extra_features=None,
+    item_extra_ids=None, extra_features=None, mesh=None,
 ) -> jnp.ndarray:
     """Eval-mode per-user padded score matrix [B, L]; invalid slots filled
     with -2⁵⁰ (reference ``model/encoder_decoder.py:155-164``)."""
@@ -490,6 +529,7 @@ def infer(
         item_features_float=item_features_float,
         item_extra_ids=item_extra_ids,
         extra_features=extra_features,
+        mesh=mesh,
     )
     return jnp.where(batch.label_mask, logits, INFER_PAD)
 

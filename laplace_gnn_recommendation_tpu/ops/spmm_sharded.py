@@ -58,6 +58,11 @@ class ShardedBipartiteGraph:
     num_users: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_items: int = dataclasses.field(metadata=dict(static=True), default=0)
     parts: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # the mesh the partitions were built for (static: Mesh is hashable).
+    # Carried so ``models.lightgcn.lightgcn_forward`` can dispatch on the
+    # operand alone — the production ``train()`` path selects this operand
+    # via ``train/lightgcn_pipeline.select_propagation``.
+    mesh: Mesh = dataclasses.field(metadata=dict(static=True), default=None)
 
     @property
     def users_per_shard(self) -> int:
@@ -119,6 +124,7 @@ class ShardedBipartiteGraph:
             num_users=g.num_users,
             num_items=g.num_items,
             parts=parts,
+            mesh=mesh,
         )
 
 

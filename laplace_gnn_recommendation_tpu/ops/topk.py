@@ -170,15 +170,23 @@ def sharded_mips_topk(
     k: int,
     exclude_items: Optional[jnp.ndarray] = None,  # global ids, [B, X]
     exclude_count: Optional[jnp.ndarray] = None,
+    num_valid_items: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed MIPS top-k: per-shard score+topk, all-gather merge.
 
     Works on a 1-device mesh too (degenerates to ``mips_topk``).
+
+    ``num_valid_items`` (static) masks the catalog tail: columns with global
+    id ≥ it score ``EXCLUDE_FILL`` and never win. Production callers pad the
+    item table so its rows divide the model axis (``shard_rows_pad``); the
+    dead pad rows must not be recommendable.
     """
     parts = mesh.shape[MODEL_AXIS]
     num_items = item_emb.shape[0]
     assert num_items % parts == 0, (num_items, parts)
     shard_items = num_items // parts
+    if num_valid_items is not None and num_valid_items >= num_items:
+        num_valid_items = None
 
     has_excl = exclude_items is not None
     if exclude_count is None and has_excl:
@@ -189,6 +197,11 @@ def sharded_mips_topk(
         my = jax.lax.axis_index(MODEL_AXIS)
         offset = my * shard_items
         scores = jnp.dot(u, it.T, preferred_element_type=jnp.float32)
+        if num_valid_items is not None:
+            col_global = offset + jnp.arange(shard_items)
+            scores = jnp.where(
+                (col_global < num_valid_items)[None, :], scores, EXCLUDE_FILL
+            )
         if has_excl:
             local_ids = ex_items - offset
             in_range = (local_ids >= 0) & (local_ids < shard_items)

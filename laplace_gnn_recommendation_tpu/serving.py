@@ -46,6 +46,7 @@ class RetrievalServer:
         exclude_edges: Optional[Tuple[np.ndarray, np.ndarray]] = None,
         batch_size: int = 256,
         quantized: bool = False,
+        mesh=None,
     ):
         """``exclude_edges=(edge_user, edge_item)`` marks already-seen items
         that must never be recommended (the train interactions).
@@ -53,19 +54,41 @@ class RetrievalServer:
         ``quantized=True`` stores the catalog as per-row int8 (4× less HBM
         traffic per sweep, int8 MXU scoring — ~98% top-10 agreement with
         f32 on gaussian embeddings; approximate retrieval). Requires the
-        TPU backend and a 512-aligned catalog; silently falls back to f32
-        otherwise."""
+        TPU backend (Pallas kernel); the catalog is padded internally to
+        the 512-row tile so any catalog size is servable. With a mesh whose
+        ``model`` axis is >1, retrieval runs the distributed MIPS path over
+        a row-sharded (internally padded) catalog — quantized and sharded
+        are mutually exclusive, sharded wins."""
+        from .parallel.mesh import MODEL_AXIS, round_up, row_sharding
+
         self.user_emb = jnp.asarray(user_emb, jnp.float32)
-        self.item_emb = jnp.asarray(item_emb, jnp.float32)
+        item_np = np.asarray(item_emb, np.float32)
         self.num_users, self.dim = self.user_emb.shape
-        self.num_items = self.item_emb.shape[0]
+        self.num_items = int(item_np.shape[0])   # TRUE catalog size
         self.k = int(k)
         self.batch_size = int(batch_size)
+        self.mesh = mesh
+        parts = mesh.shape[MODEL_AXIS] if mesh is not None else 1
+        self._sharded = parts > 1
         self.quantized = bool(
             quantized
             and jax.default_backend() == "tpu"
-            and self.num_items % 512 == 0
+            and not self._sharded
         )
+
+        # internal catalog padding: zero rows, masked out of every top-k
+        mult = 512 if self.quantized else 1
+        mult = mult * parts
+        items_padded = round_up(self.num_items, mult)
+        if items_padded != self.num_items:
+            item_np = np.pad(
+                item_np, ((0, items_padded - self.num_items), (0, 0))
+            )
+        self.items_padded = items_padded
+        self.item_emb = jnp.asarray(item_np)
+        if self._sharded:
+            self.item_emb = jax.device_put(self.item_emb, row_sharding(mesh))
+
         if self.quantized:
             from .ops.topk_pallas import row_quantize
 
@@ -80,27 +103,57 @@ class RetrievalServer:
         else:
             self._ex = self._exc = None
 
-        if self.quantized:
+        num_items_true = self.num_items
+        has_tail = items_padded != num_items_true
+
+        if self._sharded:
+            from .ops.topk import sharded_mips_topk
+
+            @partial(jax.jit, static_argnames=("k",))
+            def _step(uvec, item_emb, ex, exc, k):
+                return sharded_mips_topk(
+                    mesh, uvec, item_emb, k, ex, exc,
+                    num_valid_items=num_items_true,
+                )
+
+            @partial(jax.jit, static_argnames=("k",))
+            def _step_plain(uvec, item_emb, k):
+                return sharded_mips_topk(
+                    mesh, uvec, item_emb, k,
+                    num_valid_items=num_items_true,
+                )
+        elif self.quantized:
             from .ops.topk_pallas import (
                 exclusion_mask,
                 streaming_mips_topk_int8,
             )
 
-            num_items = self.num_items
+            def _tail_mask(b):
+                # pad-tail rows are dead: never recommendable
+                return jnp.broadcast_to(
+                    (jnp.arange(items_padded) >= num_items_true)
+                    .astype(jnp.int8)[None, :],
+                    (b, items_padded),
+                )
 
             # the quantized tables ride as ARGUMENTS, not jit-closure
             # constants (closure-jit over large device buffers degrades
             # later Pallas launches on the axon relay — see bench_kernels)
             @partial(jax.jit, static_argnames=("k",))
             def _q_step(uvec, q_items, scales, ex, exc, k):
-                mask = exclusion_mask(num_items, ex, exc)
+                mask = exclusion_mask(items_padded, ex, exc)
+                if has_tail:
+                    mask = jnp.maximum(mask, _tail_mask(uvec.shape[0]))
                 return streaming_mips_topk_int8(
                     uvec, q_items, scales, k, excl_mask=mask
                 )
 
             @partial(jax.jit, static_argnames=("k",))
             def _q_step_plain(uvec, q_items, scales, k):
-                return streaming_mips_topk_int8(uvec, q_items, scales, k)
+                mask = _tail_mask(uvec.shape[0]) if has_tail else None
+                return streaming_mips_topk_int8(
+                    uvec, q_items, scales, k, excl_mask=mask
+                )
 
             def _step(uvec, item_emb, ex, exc, k):
                 return _q_step(
@@ -129,14 +182,17 @@ class RetrievalServer:
         k: int = 12,
         exclude_edges=None,
         batch_size: int = 256,
+        quantized: bool = False,
+        mesh=None,
     ) -> "RetrievalServer":
-        """Serve the tables exported by ``lightgcn_pipeline.save_scores``."""
+        """Serve the tables exported by ``lightgcn_pipeline.export_artifacts``."""
         import os
 
         z = np.load(os.path.join(artifact_dir, "lightgcn_embeddings.npz"))
         return cls(
             z["users_emb_final"], z["items_emb_final"],
             k=k, exclude_edges=exclude_edges, batch_size=batch_size,
+            quantized=quantized, mesh=mesh,
         )
 
     def recommend(
@@ -177,6 +233,7 @@ class RankingServer:
         bn_state,
         split: str = "test",
         exclude_seen: bool = True,
+        mesh=None,
     ):
         """``exclude_seen`` (default) masks EVERY already-interacted item of
         the split, which is what a server must do. ``False`` reproduces the
@@ -220,12 +277,19 @@ class RankingServer:
         uff, iff = data.user_features_float, data.item_features_float
         xid, xf = data.item_extra_ids, data.extra_features
 
+        model_mesh = None
+        if mesh is not None:
+            from .parallel.mesh import MODEL_AXIS
+
+            if mesh.shape[MODEL_AXIS] > 1:
+                model_mesh = mesh
+
         @partial(jax.jit, static_argnames=("k",))
         def _infer_topk(params, bn_state, batch, seen, seen_count, k):
             scores = sage.infer(
                 params, bn_state, batch, uf, itf, cfg,
                 user_features_float=uff, item_features_float=iff,
-                item_extra_ids=xid, extra_features=xf,
+                item_extra_ids=xid, extra_features=xf, mesh=model_mesh,
             )
             # candidates only: positives are already interacted → exclude
             # (run_submission.py:60-66 keeps only negative label edges)

@@ -54,13 +54,18 @@ def make_train_step(cfg: Config, data: LinkPredData, tx, mesh=None):
     xid, xf = data.item_extra_ids, data.extra_features
 
     batch_constraint = None
+    model_mesh = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel.mesh import DATA_AXIS
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
         if mesh.shape[DATA_AXIS] > 1:
             batch_constraint = NamedSharding(mesh, P(DATA_AXIS))
+        if mesh.shape[MODEL_AXIS] > 1:
+            # feature tables are row-sharded: lookups go through the
+            # cross-shard exchange (ops/embedding.sharded_embedding_lookup)
+            model_mesh = mesh
 
     def constrain(batch: SubgraphBatch) -> SubgraphBatch:
         if batch_constraint is None:
@@ -84,7 +89,7 @@ def make_train_step(cfg: Config, data: LinkPredData, tx, mesh=None):
             logits, new_bn = sage.forward(
                 p, bn_state, batch, uf, itf, cfg, train=True, rng=key,
                 user_features_float=uff, item_features_float=iff,
-                item_extra_ids=xid, extra_features=xf,
+                item_extra_ids=xid, extra_features=xf, mesh=model_mesh,
             )
             return sage.bce_loss(logits, batch), new_bn
 
@@ -96,17 +101,24 @@ def make_train_step(cfg: Config, data: LinkPredData, tx, mesh=None):
     return step
 
 
-def make_eval_step(cfg: Config, data: LinkPredData):
+def make_eval_step(cfg: Config, data: LinkPredData, mesh=None):
     uf, itf = data.user_features, data.item_features
     uff, iff = data.user_features_float, data.item_features_float
     xid, xf = data.item_extra_ids, data.extra_features
+
+    model_mesh = None
+    if mesh is not None:
+        from ..parallel.mesh import MODEL_AXIS
+
+        if mesh.shape[MODEL_AXIS] > 1:
+            model_mesh = mesh
 
     @jax.jit
     def eval_step(params, bn_state, batch: SubgraphBatch):
         scores = sage.infer(
             params, bn_state, batch, uf, itf, cfg,
             user_features_float=uff, item_features_float=iff,
-            item_extra_ids=xid, extra_features=xf,
+            item_extra_ids=xid, extra_features=xf, mesh=model_mesh,
         )
         # per-user top-k over candidate label edges → their global item ids
         k = min(cfg.k, scores.shape[1])
@@ -167,7 +179,7 @@ def run_pipeline(
     key, k_init = jax.random.split(key)
     params, bn_state = sage.init_sage_params(
         k_init, cfg, feature_info, float_dims=data.float_dims(),
-        num_extra=data.num_extra,
+        num_extra=data.num_extra, mesh=mesh,
     )
     tx = optax.adam(cfg.learning_rate)
     opt_state = tx.init(params)
@@ -192,7 +204,7 @@ def run_pipeline(
             log_fn(f"| Resuming from checkpoint (epoch {start_epoch})...")
 
     step = make_train_step(cfg, data, tx, mesh=mesh)
-    eval_step = make_eval_step(cfg, data)
+    eval_step = make_eval_step(cfg, data, mesh=mesh)
 
     old_val_precision = -1.0
     val_recall = val_precision = 0.0

@@ -51,9 +51,9 @@ def _user_row_ptr(g: BipartiteGraph) -> jnp.ndarray:
 
 
 def maybe_dense(cfg: LightGCNConfig, graph: BipartiteGraph):
-    """Pick the fastest propagation operand for ``lightgcn_forward``: dense
-    MXU adjacency when it fits the budget, else the blocked one-hot-matmul
-    layout (3.6× over plain segment-sum)."""
+    """Pick the fastest SINGLE-DEVICE propagation operand for
+    ``lightgcn_forward``: dense MXU adjacency when it fits the budget, else
+    the blocked one-hot-matmul layout (3.6× over plain segment-sum)."""
     from ..ops.spmm_blocked import BlockedGraph
     from ..ops.spmm_dense import DenseAdjacency, dense_fits
 
@@ -64,6 +64,37 @@ def maybe_dense(cfg: LightGCNConfig, graph: BipartiteGraph):
     if graph.num_edges > 0:
         return BlockedGraph.from_graph(graph)
     return graph
+
+
+def select_propagation(cfg: LightGCNConfig, graph: BipartiteGraph, mesh=None):
+    """Production propagation-operand selection (``cfg.propagation``).
+
+    ``auto`` picks the multi-chip sharded SpMM whenever the mesh's ``model``
+    axis is >1 (row-sharded tables + all-gather/segment-sum per direction,
+    the scale-out path for graphs past one chip's HBM), else the fastest
+    single-device operand via :func:`maybe_dense`. Explicit values pin a
+    path (``plain`` is the numerical reference; the sharded path on a
+    1-wide model axis degenerates to it bit-for-bit, which the 8-device
+    parity tests rely on)."""
+    from ..ops.spmm_sharded import ShardedBipartiteGraph
+
+    mode = getattr(cfg, "propagation", "auto")
+    model_parts = mesh.shape[MODEL_AXIS] if mesh is not None else 1
+    if mode == "plain":
+        return graph
+    if mode == "sharded" or (mode == "auto" and model_parts > 1):
+        assert mesh is not None, "sharded propagation needs a mesh"
+        return ShardedBipartiteGraph.from_graph(graph, mesh)
+    if mode == "dense":
+        from ..ops.spmm_dense import DenseAdjacency
+
+        return DenseAdjacency.from_graph(graph)
+    if mode == "blocked":
+        from ..ops.spmm_blocked import BlockedGraph
+
+        return BlockedGraph.from_graph(graph)
+    assert mode == "auto", f"unknown propagation mode {mode!r}"
+    return maybe_dense(cfg, graph)
 
 
 def make_train_step(
@@ -153,19 +184,14 @@ def eval_loss(
     )
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _metrics_chunk(
-    user_vecs: jnp.ndarray,    # [C, D]
-    item_emb: jnp.ndarray,     # [I, D]
+def _metrics_from_topk(
+    topk_items: jnp.ndarray,   # int32 [C, k]
     gt_items: jnp.ndarray,     # [C, G]
     gt_count: jnp.ndarray,     # [C]
-    excl_items: jnp.ndarray,   # [C, X]
-    excl_count: jnp.ndarray,   # [C]
     valid: jnp.ndarray,        # bool [C] chunk padding mask
     k: int,
 ):
-    scores = jnp.dot(user_vecs, item_emb.T, preferred_element_type=jnp.float32)
-    _, topk_items = masked_topk(scores, k, excl_items, excl_count)
+    """(recall_sum, hits_sum, ndcg_sum, n) from a top-k id matrix."""
     r = topk_hits(topk_items, gt_items, gt_count)
     mask = valid & (gt_count > 0)
     n = jnp.sum(mask)
@@ -183,6 +209,47 @@ def _metrics_chunk(
     return recall_sum, hits_sum, ndcg_sum, n
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _metrics_chunk(
+    user_vecs: jnp.ndarray,    # [C, D]
+    item_emb: jnp.ndarray,     # [I, D]
+    gt_items: jnp.ndarray,     # [C, G]
+    gt_count: jnp.ndarray,     # [C]
+    excl_items: jnp.ndarray,   # [C, X]
+    excl_count: jnp.ndarray,   # [C]
+    valid: jnp.ndarray,        # bool [C] chunk padding mask
+    k: int,
+):
+    scores = jnp.dot(user_vecs, item_emb.T, preferred_element_type=jnp.float32)
+    _, topk_items = masked_topk(scores, k, excl_items, excl_count)
+    return _metrics_from_topk(topk_items, gt_items, gt_count, valid, k)
+
+
+# cache of jitted sharded metric chunks, keyed by (mesh, k, num_valid_items)
+_SHARDED_METRICS_CACHE: dict = {}
+
+
+def _sharded_metrics_chunk(mesh, k: int, num_valid_items: int):
+    """Jitted chunk metrics on the distributed MIPS path: per-shard MXU
+    scoring + all-gather top-k merge (``ops/topk.sharded_mips_topk``)."""
+    cache_key = (mesh, k, num_valid_items)
+    fn = _SHARDED_METRICS_CACHE.get(cache_key)
+    if fn is None:
+        from ..ops.topk import sharded_mips_topk
+
+        @jax.jit
+        def fn(user_vecs, item_emb, gt_items, gt_count, excl_items,
+               excl_count, valid):
+            _, topk_items = sharded_mips_topk(
+                mesh, user_vecs, item_emb, k, excl_items, excl_count,
+                num_valid_items=num_valid_items,
+            )
+            return _metrics_from_topk(topk_items, gt_items, gt_count, valid, k)
+
+        _SHARDED_METRICS_CACHE[cache_key] = fn
+    return fn
+
+
 def get_metrics(
     params: LightGCNParams,
     cfg: LightGCNConfig,
@@ -190,12 +257,18 @@ def get_metrics(
     graph_for_final: Optional[BipartiteGraph] = None,
     eval_embeddings: str = "e0",
     chunk: int = 1024,
+    mesh=None,
+    num_valid_items: Optional[int] = None,
 ) -> Tuple[float, float, float]:
     """recall/precision/ndcg@k over an eval split, chunked over users.
 
     Exact semantics of ``get_metrics_lightgcn`` (``utils/metrics_lightgcn.py:
     79-122``): scores = user·itemᵀ, train edges masked out, topk(k), hits vs
     the split's ground truth.
+
+    With a mesh whose ``model`` axis is >1 the scoring runs the distributed
+    MIPS path (per-shard MXU score + all-gather merge); ``num_valid_items``
+    masks the dead pad tail of an internally-padded item table.
     """
     if eval_embeddings == "final":
         assert graph_for_final is not None
@@ -203,6 +276,16 @@ def get_metrics(
         user_emb, item_emb = uf, itf
     else:
         user_emb, item_emb = params.user_emb, params.item_emb
+
+    use_sharded = mesh is not None and mesh.shape[MODEL_AXIS] > 1
+    if use_sharded:
+        nvalid = int(
+            num_valid_items if num_valid_items is not None
+            else item_emb.shape[0]
+        )
+        chunk_fn = _sharded_metrics_chunk(mesh, cfg.k, nvalid)
+    else:
+        chunk_fn = partial(_metrics_chunk, k=cfg.k)
 
     users = eval_set.users
     b = len(users)
@@ -217,11 +300,11 @@ def get_metrics(
         ex = np.pad(eval_set.exclude_items[s:e], ((0, pad), (0, 0)), constant_values=-1)
         exc = np.pad(eval_set.exclude_count[s:e], (0, pad))
         valid = np.arange(chunk) < c
-        r_, h_, n_, m_ = _metrics_chunk(
+        r_, h_, n_, m_ = chunk_fn(
             user_emb[jnp.asarray(uu)], item_emb,
             jnp.asarray(gt), jnp.asarray(gtc),
             jnp.asarray(ex), jnp.asarray(exc),
-            jnp.asarray(valid), cfg.k,
+            jnp.asarray(valid),
         )
         rs += float(r_); hs += float(h_); ns += float(n_); cnt += float(m_)
     cnt = max(cnt, 1.0)
@@ -237,6 +320,8 @@ def evaluation(
     max_degree: int,
     eval_embeddings: str = "e0",
     prop_graph=None,
+    mesh=None,
+    num_valid_items: Optional[int] = None,
 ) -> Tuple[float, float, float, float]:
     """(loss, recall, precision, ndcg) — reference ``run_pipeline_lightgcn.py:20-73``."""
     loss = float(
@@ -246,6 +331,7 @@ def evaluation(
         params, cfg, eval_set,
         graph_for_final=prop_graph if prop_graph is not None else eval_graph,
         eval_embeddings=eval_embeddings,
+        mesh=mesh, num_valid_items=num_valid_items,
     )
     return loss, recall, precision, ndcg
 
@@ -256,10 +342,16 @@ def export_artifacts(
     cfg: LightGCNConfig,
     artifact_dir: str,
     chunk: int = 1024,
+    mesh=None,
 ) -> np.ndarray:
     """Top-``num_recommendations`` per user (positives excluded) + embedding
     tables — the matcher hand-off (reference ``run_pipeline_lightgcn.py:
-    211-238``). Returns the [U, R] recommendation matrix and writes npz."""
+    211-238``). Returns the [U, R] recommendation matrix and writes npz.
+
+    With a model-sharded mesh the top-k sweep runs the distributed MIPS path
+    over the (possibly pad-tailed) row-sharded item table; the saved tables
+    are always sliced back to the true node counts.
+    """
     os.makedirs(artifact_dir, exist_ok=True)
     eu, ei = data.all_edges
     from ..data.lightgcn_data import padded_user_items
@@ -268,12 +360,29 @@ def export_artifacts(
     pos_items, pos_count = padded_user_items(users, eu.astype(np.int64), ei)
     out = np.zeros((data.num_users, cfg.num_recommendations), np.int32)
 
-    @partial(jax.jit, static_argnames=("k",))
-    def topk_chunk(uvec, item_emb, ex, exc, k):
-        from ..ops.topk import auto_mips_topk
+    use_sharded = mesh is not None and mesh.shape[MODEL_AXIS] > 1
+    if use_sharded:
+        from ..ops.topk import sharded_mips_topk
 
-        _, idx = auto_mips_topk(uvec, item_emb, k, ex, exc)
-        return idx
+        k_rec = cfg.num_recommendations
+        num_valid = data.num_items
+
+        @jax.jit
+        def topk_chunk(uvec, item_emb, ex, exc):
+            _, idx = sharded_mips_topk(
+                mesh, uvec, item_emb, k_rec, ex, exc,
+                num_valid_items=num_valid,
+            )
+            return idx
+    else:
+        @partial(jax.jit, static_argnames=("k",))
+        def _topk_chunk(uvec, item_emb, ex, exc, k):
+            from ..ops.topk import auto_mips_topk
+
+            _, idx = auto_mips_topk(uvec, item_emb, k, ex, exc)
+            return idx
+
+        topk_chunk = partial(_topk_chunk, k=cfg.num_recommendations)
 
     for s in range(0, data.num_users, chunk):
         e = min(s + chunk, data.num_users)
@@ -283,7 +392,7 @@ def export_artifacts(
         exc = np.pad(pos_count[s:e], (0, pad))
         idx = topk_chunk(
             params.user_emb[jnp.asarray(uu)], params.item_emb,
-            jnp.asarray(ex), jnp.asarray(exc), cfg.num_recommendations,
+            jnp.asarray(ex), jnp.asarray(exc),
         )
         out[s:e] = np.asarray(idx)[: e - s]
 
@@ -293,8 +402,8 @@ def export_artifacts(
     )
     np.savez_compressed(
         os.path.join(artifact_dir, "lightgcn_embeddings.npz"),
-        users_emb_final=np.asarray(params.user_emb),
-        items_emb_final=np.asarray(params.item_emb),
+        users_emb_final=np.asarray(params.user_emb)[: data.num_users],
+        items_emb_final=np.asarray(params.item_emb)[: data.num_items],
     )
     return out
 
@@ -309,32 +418,57 @@ def train(
 ) -> Stats:
     """Full training loop — reference ``run_pipeline_lightgcn.py:76-232``.
 
-    ``mesh=None`` runs single-device (the reference's setting); pass a
-    multi-device mesh to enable DP over the batch + row-sharded tables.
+    ``mesh=None`` runs single-device (the reference's setting). With a
+    multi-device mesh the run is the PRODUCTION multi-chip path: node counts
+    pad up to divide the ``model`` axis, the E⁰ tables are row-sharded over
+    it, propagation is the sharded shard_map SpMM, eval/export score through
+    the distributed MIPS top-k, and the BPR minibatch splits over ``data``.
+    Pad rows are dead weight — zero-initialized, never sampled, and masked
+    out of every top-k by ``num_valid_items``.
     """
     cfg.print()
     if mesh is None:
         mesh = build_mesh(1, 1, devices=[jax.devices()[0]])
+    parts = mesh.shape[MODEL_AXIS]
 
     key = jax.random.PRNGKey(cfg.seed)
     key, k_init = jax.random.split(key)
     params = init_lightgcn(
         k_init, data.num_users, data.num_items, cfg.hidden_layer_size
     )
-    # Row-shard the tables over the model axis (no-op on a 1×1 mesh).
-    if mesh.shape[MODEL_AXIS] > 1:
+    # Pad node counts up to divide the model axis, then row-shard the tables
+    # over it. The pad tail is appended AFTER init so the true rows match the
+    # single-device run bit-for-bit (a padded init would re-key every row).
+    from ..parallel.mesh import shard_rows_pad
+
+    u_pad = shard_rows_pad(data.num_users, mesh)
+    i_pad = shard_rows_pad(data.num_items, mesh)
+    if parts > 1:
         params = LightGCNParams(
-            user_emb=jax.device_put(params.user_emb, row_sharding(mesh)),
-            item_emb=jax.device_put(params.item_emb, row_sharding(mesh)),
+            user_emb=jax.device_put(
+                jnp.pad(params.user_emb, ((0, u_pad - data.num_users), (0, 0))),
+                row_sharding(mesh),
+            ),
+            item_emb=jax.device_put(
+                jnp.pad(params.item_emb, ((0, i_pad - data.num_items), (0, 0))),
+                row_sharding(mesh),
+            ),
         )
 
     max_deg_train = int(np.asarray(data.train_graph.user_deg).max(initial=1))
     max_deg_val = int(np.asarray(data.val_graph.user_deg).max(initial=1))
     max_deg_test = int(np.asarray(data.test_graph.user_deg).max(initial=1))
 
-    train_prop = maybe_dense(cfg, data.train_graph)
-    val_prop = maybe_dense(cfg, data.val_graph)
-    test_prop = maybe_dense(cfg, data.test_graph)
+    def prop_operand(g: BipartiteGraph):
+        if parts > 1 and (u_pad != g.num_users or i_pad != g.num_items):
+            # rebuild with pad-extended node counts (host-side, cheap); the
+            # edge set — and therefore degrees/weights — is unchanged
+            g = BipartiteGraph.from_edges(*g.edges_host(), u_pad, i_pad)
+        return select_propagation(cfg, g, mesh)
+
+    train_prop = prop_operand(data.train_graph)
+    val_prop = prop_operand(data.val_graph)
+    test_prop = prop_operand(data.test_graph)
 
     step_fn, tx = make_train_step(
         cfg, data.train_graph, max_deg_train, mesh=mesh, prop_graph=train_prop
@@ -352,6 +486,7 @@ def train(
             val_loss, recall, precision, ndcg = evaluation(
                 cfg, params, data.val_graph, data.val_set, k_eval,
                 max_deg_val, eval_embeddings, prop_graph=val_prop,
+                mesh=mesh, num_valid_items=data.num_items,
             )
             log_fn(
                 f"[Iter {it}/{cfg.epochs}] train_loss: {float(train_loss):.5f}, "
@@ -363,6 +498,7 @@ def train(
     test_loss, test_recall, test_precision, test_ndcg = evaluation(
         cfg, params, data.test_graph, data.test_set, k_test,
         max_deg_test, eval_embeddings, prop_graph=test_prop,
+        mesh=mesh, num_valid_items=data.num_items,
     )
     log_fn(
         f"[test_loss: {test_loss:.5f}, test_recall@{cfg.k}: {test_recall:.5f}, "
@@ -370,7 +506,7 @@ def train(
     )
 
     if export:
-        export_artifacts(params, data, cfg, cfg.artifact_dir)
+        export_artifacts(params, data, cfg, cfg.artifact_dir, mesh=mesh)
 
     return Stats(
         loss=float(train_loss),
