@@ -167,6 +167,12 @@ class LightGCNConfig:
     """Propagation operand: ``auto`` (sharded when the mesh's model axis > 1,
     else dense when it fits ``dense_bytes_budget``, else blocked) |
     ``dense`` | ``blocked`` | ``plain`` (segment-sum) | ``sharded``."""
+    eval_user_cap: Optional[int] = None
+    """Evaluate ranking metrics on at most this many users per split (the
+    first N of the split's sorted unique users). ``None`` = all users — the
+    reference behavior. At H&M scale (1.37M users) a full metric sweep per
+    eval is minutes; production runs cap it and keep the full sweep for the
+    final test pass."""
 
     def print(self) -> None:
         print("\nConfiguration is:")

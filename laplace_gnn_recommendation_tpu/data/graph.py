@@ -119,7 +119,7 @@ class BipartiteGraph:
         uu, ii, ww = _pack(um_order)
         uu2, ii2, ww2 = _pack(im_order)
 
-        return BipartiteGraph(
+        g = BipartiteGraph(
             edge_user=jnp.asarray(uu),
             edge_item=jnp.asarray(ii),
             edge_w=jnp.asarray(ww),
@@ -132,13 +132,35 @@ class BipartiteGraph:
             num_items=int(num_items),
             num_edges=e,
         )
+        # host-side copies of the six edge arrays, kept OUTSIDE the dataclass
+        # fields (so they are invisible to the pytree registration and jit).
+        # Downstream plan builders (BlockedGraph, ShardedBipartiteGraph,
+        # DenseAdjacency) consume these instead of a device→host download —
+        # ~700 MB over the remote-device tunnel at H&M scale.
+        g._host = (uu, ii, ww, uu2, ii2, ww2)
+        return g
+
+    def host_arrays(self):
+        """(edge_user, edge_item, edge_w, edge_user_im, edge_item_im,
+        edge_w_im) as numpy, UNPADDED — from the build-time cache when
+        available, else one device→host transfer."""
+        cached = getattr(self, "_host", None)
+        e = self.num_edges
+        if cached is not None:
+            return tuple(a[:e] for a in cached)
+        return (
+            np.asarray(self.edge_user[:e]),
+            np.asarray(self.edge_item[:e]),
+            np.asarray(self.edge_w[:e]),
+            np.asarray(self.edge_user_im[:e]),
+            np.asarray(self.edge_item_im[:e]),
+            np.asarray(self.edge_w_im[:e]),
+        )
 
     def edges_host(self) -> Tuple[np.ndarray, np.ndarray]:
         """Return the true (unpadded) edge arrays on host, user-major order."""
-        return (
-            np.asarray(self.edge_user[: self.num_edges]),
-            np.asarray(self.edge_item[: self.num_edges]),
-        )
+        eu, ei, *_ = self.host_arrays()
+        return eu, ei
 
 
 jax.tree_util.register_dataclass(BipartiteGraph)

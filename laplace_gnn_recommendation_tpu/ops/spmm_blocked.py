@@ -58,38 +58,57 @@ class BlockedSegmentPlan:
         src = np.asarray(src)
         w = np.asarray(w)
         e = len(dst_sorted)
-        # greedy chunking: cut when edge budget or distinct-row budget hits
-        cuts = [0]
-        row_start = 0
-        while row_start < e:
-            base_row = dst_sorted[row_start]
-            end = min(row_start + edges_per_chunk, e)
-            # rows_per_chunk distinct rows max: find first edge whose row
-            # id exceeds base + (rows budget via searchsorted on row values)
-            max_row = None
-            # distinct rows within [row_start, end)
-            seg = dst_sorted[row_start:end]
-            uniq = np.unique(seg)
-            if len(uniq) > rows_per_chunk:
-                limit_row = uniq[rows_per_chunk - 1]
-                end = row_start + int(np.searchsorted(seg, limit_row, side="right"))
-            cuts.append(end)
-            row_start = end
-        c = len(cuts) - 1
         e_c, r_c = edges_per_chunk, rows_per_chunk
+        if e == 0:
+            return BlockedSegmentPlan(
+                src=jnp.zeros((1, e_c), jnp.int32),
+                w=jnp.zeros((1, e_c), jnp.float32),
+                local_row=jnp.zeros((1, e_c), jnp.int32),
+                row_ids=jnp.full((1, r_c), num_rows, jnp.int32),
+                num_rows=num_rows,
+                edges_per_chunk=e_c,
+                rows_per_chunk=r_c,
+            )
+        # --- greedy chunking, vectorized (the per-chunk np.unique walk was
+        # O(E·E_c) in Python — minutes at H&M's 28M edges; this build is
+        # O(E) numpy + one O(#chunks) scalar chain) ---
+        # runs of equal destination rows: rb[i] = first edge of run i
+        change = np.flatnonzero(np.diff(dst_sorted)) + 1
+        rb = np.concatenate([[0], change, [e]])          # [n_runs + 1]
+        n_runs = len(rb) - 1
+        run_len = np.diff(rb)
+        run_of = np.repeat(np.arange(n_runs, dtype=np.int64), run_len)
+        # cut rule (same as the original greedy): a chunk starting at edge s
+        # ends at min(s + E_c, start of the (R_c+1)-th distinct row after s)
+        cuts = [0]
+        s = 0
+        while s < e:
+            end = min(
+                s + e_c, int(rb[min(int(run_of[s]) + r_c, n_runs)]), e
+            )
+            cuts.append(end)
+            s = end
+        cuts = np.asarray(cuts, np.int64)
+        c = len(cuts) - 1
+        n_per_chunk = np.diff(cuts)
+        chunk_of_edge = np.repeat(np.arange(c, dtype=np.int64), n_per_chunk)
+        pos_in_chunk = np.arange(e, dtype=np.int64) - cuts[chunk_of_edge]
+
         p_src = np.zeros((c, e_c), np.int32)
         p_w = np.zeros((c, e_c), np.float32)
         p_local = np.zeros((c, e_c), np.int32)
-        p_rows = np.full((c, r_c), num_rows, np.int32)  # pad → OOB (dropped)
-        for ci in range(c):
-            s, t = cuts[ci], cuts[ci + 1]
-            n = t - s
-            rows = dst_sorted[s:t]
-            uniq, local = np.unique(rows, return_inverse=True)
-            p_src[ci, :n] = src[s:t]
-            p_w[ci, :n] = w[s:t]
-            p_local[ci, :n] = local
-            p_rows[ci, : len(uniq)] = uniq
+        p_src[chunk_of_edge, pos_in_chunk] = src
+        p_w[chunk_of_edge, pos_in_chunk] = w
+        run_base = run_of[cuts[:-1]]                      # first run per chunk
+        p_local[chunk_of_edge, pos_in_chunk] = (run_of - run_base[chunk_of_edge])
+        # per-chunk distinct row ids (pad → num_rows, dropped by the scatter)
+        n_dist = run_of[cuts[1:] - 1] - run_base + 1
+        grid = run_base[:, None] + np.arange(r_c)[None, :]
+        valid = np.arange(r_c)[None, :] < n_dist[:, None]
+        run_vals = dst_sorted[rb[:-1]]                    # row value per run
+        p_rows = np.where(
+            valid, run_vals[np.minimum(grid, n_runs - 1)], num_rows
+        ).astype(np.int32)
         return BlockedSegmentPlan(
             src=jnp.asarray(p_src),
             w=jnp.asarray(p_w),
@@ -104,6 +123,30 @@ class BlockedSegmentPlan:
 jax.tree_util.register_dataclass(BlockedSegmentPlan)
 
 
+# Max chunks contracted in one XLA op. Beyond this the op runs as a lax.scan
+# over equal slices: the [slice, E_c, D] message block stays ≤ ~270 MB
+# (f32, D=32) no matter the graph size — and, critically, no matter what
+# layout XLA picks for the gather (its flattened-gather strategy lane-pads
+# D=32 to 128, a 4× expansion that turned the one-op message block into
+# 12 GB at H&M scale). ML-1M-scale graphs (~8k chunks) stay single-op.
+MAX_CHUNKS_PER_SLICE = 16384
+
+
+def _blocked_partial_contract(src, w, local_row, table, r_c, e_c, precision):
+    """messages → per-chunk partial rows: [C_s, R_c, D]."""
+    msgs = w[..., None] * table[src]                            # [C_s, E_c, D]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, r_c, e_c), 1)
+        == local_row[:, None, :]
+    ).astype(table.dtype)                                       # [C_s, R_c, E_c]
+    return jax.lax.dot_general(
+        onehot, msgs,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
 def blocked_segment_sum(
     plan: BlockedSegmentPlan,
     table: jnp.ndarray,
@@ -116,24 +159,43 @@ def blocked_segment_sum(
     the bf16 default (5.45 ms vs 5.38 ms) — the contraction is gather-bound,
     not MXU-bound.
     """
-    msgs = plan.w[..., None] * table[plan.src]                 # [C, E_c, D]
-    onehot = (
-        jax.lax.broadcasted_iota(
-            jnp.int32, (1, plan.rows_per_chunk, plan.edges_per_chunk), 1
+    c = plan.src.shape[0]
+    r_c, e_c = plan.rows_per_chunk, plan.edges_per_chunk
+    d = table.shape[-1]
+    if c <= MAX_CHUNKS_PER_SLICE:
+        partials = _blocked_partial_contract(
+            plan.src, plan.w, plan.local_row, table, r_c, e_c, precision
         )
-        == plan.local_row[:, None, :]
-    ).astype(table.dtype)                                       # [C, R_c, E_c]
-    partials = jax.lax.dot_general(
-        onehot, msgs,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )                                                           # [C, R_c, D]
-    flat_rows = plan.row_ids.reshape(-1)
-    out = jnp.zeros((plan.num_rows, table.shape[-1]), partials.dtype)
-    return out.at[flat_rows].add(
-        partials.reshape(-1, table.shape[-1]), mode="drop"
-    )
+        out = jnp.zeros((plan.num_rows, d), partials.dtype)
+        return out.at[plan.row_ids.reshape(-1)].add(
+            partials.reshape(-1, d), mode="drop"
+        )
+
+    # big-graph path: scan over bounded chunk slices, accumulating into the
+    # output table (pad chunks carry w=0 and row_ids=num_rows → no-ops)
+    s = MAX_CHUNKS_PER_SLICE
+    g = -(-c // s)
+    pad = g * s - c
+    src = jnp.pad(plan.src, ((0, pad), (0, 0))).reshape(g, s, e_c)
+    w = jnp.pad(plan.w, ((0, pad), (0, 0))).reshape(g, s, e_c)
+    local = jnp.pad(plan.local_row, ((0, pad), (0, 0))).reshape(g, s, e_c)
+    rows = jnp.pad(
+        plan.row_ids, ((0, pad), (0, 0)), constant_values=plan.num_rows
+    ).reshape(g, s, r_c)
+
+    def body(acc, xs):
+        src_s, w_s, local_s, rows_s = xs
+        partials = _blocked_partial_contract(
+            src_s, w_s, local_s, table, r_c, e_c, precision
+        )
+        acc = acc.at[rows_s.reshape(-1)].add(
+            partials.reshape(-1, d), mode="drop"
+        )
+        return acc, None
+
+    out0 = jnp.zeros((plan.num_rows, d), jnp.float32)
+    out, _ = jax.lax.scan(body, out0, (src, w, local, rows))
+    return out
 
 
 @dataclass
@@ -147,16 +209,13 @@ class BlockedGraph:
     def from_graph(
         g: BipartiteGraph, edges_per_chunk: int = 128, rows_per_chunk: int = 8
     ) -> "BlockedGraph":
-        e = g.num_edges
+        eu, ei, w, eu_im, ei_im, w_im = g.host_arrays()
         return BlockedGraph(
             to_user=BlockedSegmentPlan.from_edges(
-                np.asarray(g.edge_user[:e]), np.asarray(g.edge_item[:e]),
-                np.asarray(g.edge_w[:e]), g.num_users,
-                edges_per_chunk, rows_per_chunk,
+                eu, ei, w, g.num_users, edges_per_chunk, rows_per_chunk,
             ),
             to_item=BlockedSegmentPlan.from_edges(
-                np.asarray(g.edge_item_im[:e]), np.asarray(g.edge_user_im[:e]),
-                np.asarray(g.edge_w_im[:e]), g.num_items,
+                ei_im, eu_im, w_im, g.num_items,
                 edges_per_chunk, rows_per_chunk,
             ),
         )
@@ -197,18 +256,51 @@ class BlockedGraph:
 jax.tree_util.register_dataclass(BlockedGraph)
 
 
+@jax.custom_vjp
 def propagate_blocked(
     bg: BlockedGraph,
     user_emb: jnp.ndarray,
     item_emb: jnp.ndarray,
-    precision="highest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in for ``spmm.propagate_bipartite`` on the blocked layout
-    (measured 3.6× faster at ML-1M scale: 5.4 ms vs 19.4 ms both dirs)."""
+    (measured 3.6× faster at ML-1M scale: 5.4 ms vs 19.4 ms both dirs).
+
+    Custom VJP: with à the symmetric-normalized adjacency, the forward is
+    (Ã·i, Ãᵀ·u) and the cotangent pullback is (Ã·gᵢ, Ãᵀ·gᵤ) — the SAME
+    operator on the cotangents, and both plans are already in ``bg``. This
+    matters beyond elegance: XLA's automatic transpose of the blocked
+    dot_general materializes the [C, E_c, D] message cotangent in a
+    lane-padded layout (4× expansion — a 12 GB buffer at H&M scale, instant
+    OOM); routing the backward through the forward kernel keeps the layout
+    optimal and the peak at one message block."""
     return (
-        blocked_segment_sum(bg.to_user, item_emb, precision),
-        blocked_segment_sum(bg.to_item, user_emb, precision),
+        blocked_segment_sum(bg.to_user, item_emb),
+        blocked_segment_sum(bg.to_item, user_emb),
     )
+
+
+def _propagate_blocked_fwd(bg, user_emb, item_emb):
+    return propagate_blocked(bg, user_emb, item_emb), bg
+
+
+def _propagate_blocked_bwd(bg, cts):
+    g_u, g_i = cts
+    grad_user = blocked_segment_sum(bg.to_user, g_i)
+    grad_item = blocked_segment_sum(bg.to_item, g_u)
+    # the plan itself is data, not a trainable: its cotangent is dropped by
+    # the caller, so hand back zeros (float0 for the integer leaves) — XLA
+    # dead-code-eliminates them
+    import jax.dtypes
+
+    def _zero(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    return jax.tree.map(_zero, bg), grad_user, grad_item
+
+
+propagate_blocked.defvjp(_propagate_blocked_fwd, _propagate_blocked_bwd)
 
 
 def lightgcn_propagate_blocked(
@@ -218,7 +310,13 @@ def lightgcn_propagate_blocked(
     num_iterations: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """K-iteration multi-scale mean on the blocked layout (same contract as
-    ``spmm.lightgcn_propagate``)."""
+    ``spmm.lightgcn_propagate``).
+
+    Memory: ``propagate_blocked``'s custom VJP keeps no per-iteration
+    residuals (the operator is linear; backward reuses the forward kernel on
+    the cotangents), so the live set is one [C, E_c, D] message block at a
+    time regardless of K — the property that lets H&M-scale training fit a
+    16 GB chip."""
     acc_u, acc_i = user_emb0, item_emb0
     eu, ei = user_emb0, item_emb0
     for _ in range(num_iterations):

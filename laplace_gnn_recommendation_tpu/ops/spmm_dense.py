@@ -44,9 +44,7 @@ class DenseAdjacency:
 
     @staticmethod
     def from_graph(g: BipartiteGraph) -> "DenseAdjacency":
-        u = np.asarray(g.edge_user[: g.num_edges])
-        i = np.asarray(g.edge_item[: g.num_edges])
-        w = np.asarray(g.edge_w[: g.num_edges])
+        u, i, w, *_ = g.host_arrays()
         a = np.zeros((g.num_users, g.num_items), np.float32)
         # accumulate (not assign): duplicate (user, item) edges must weigh
         # the same as in the segment-sum/blocked paths

@@ -81,12 +81,10 @@ class ShardedBipartiteGraph:
         )
         ups = g.num_users // parts
         ips = g.num_items // parts
+        h_eu, h_ei, h_w, h_eu_im, h_ei_im, h_w_im = g.host_arrays()
 
         def partition(dst, src, w, rows_per_shard):
             """Split edges (sorted by dst) into per-shard equal-length blocks."""
-            dst = np.asarray(dst)[: g.num_edges]
-            src = np.asarray(src)[: g.num_edges]
-            w = np.asarray(w)[: g.num_edges]
             shard_of = dst // rows_per_shard
             counts = np.bincount(shard_of, minlength=parts)
             e_shard = max(int(counts.max(initial=1)), 1)
@@ -109,9 +107,9 @@ class ShardedBipartiteGraph:
             return out_dst, out_src, out_w
 
         # user-major ordering is sorted by user = destination of item→user
-        ud, us, uw = partition(g.edge_user, g.edge_item, g.edge_w, ups)
+        ud, us, uw = partition(h_eu, h_ei, h_w, ups)
         # item-major ordering is sorted by item = destination of user→item
-        idd, ius, iw = partition(g.edge_item_im, g.edge_user_im, g.edge_w_im, ips)
+        idd, ius, iw = partition(h_ei_im, h_eu_im, h_w_im, ips)
 
         shard = NamedSharding(mesh, P(MODEL_AXIS))
         return ShardedBipartiteGraph(

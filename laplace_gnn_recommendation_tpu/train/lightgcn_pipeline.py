@@ -124,17 +124,22 @@ def make_train_step(
 
         batch_constraint = NamedSharding(mesh, P(DATA_AXIS))
 
+    # The graph operands ride as jit ARGUMENTS, not closure constants:
+    # closed-over device arrays get embedded in the HLO as literals, which
+    # at H&M scale (~700 MB of blocked-plan arrays) overflows the remote
+    # compiler's request limits — and bloats every compile cache entry.
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params: LightGCNParams, opt_state, key: jax.Array):
+    def _step(params: LightGCNParams, opt_state, key: jax.Array,
+              graph_arg, prop_arg, row_ptr_arg):
         u, pos, neg = sample_bpr_batch(
             key,
-            graph.edge_user,
-            graph.edge_item,
-            graph.num_edges,
+            graph_arg.edge_user,
+            graph_arg.edge_item,
+            graph_arg.num_edges,
             cfg.batch_size,
-            row_ptr,
-            graph.edge_item,
-            graph.num_items,
+            row_ptr_arg,
+            graph_arg.edge_item,
+            graph_arg.num_items,
             max_degree,
         )
         if batch_constraint is not None:
@@ -143,7 +148,7 @@ def make_train_step(
             neg = jax.lax.with_sharding_constraint(neg, batch_constraint)
 
         def loss_fn(p: LightGCNParams):
-            uf, u0, itf, it0 = lightgcn_forward(p, prop_graph, cfg.num_iterations)
+            uf, u0, itf, it0 = lightgcn_forward(p, prop_arg, cfg.num_iterations)
             return bpr_loss(
                 uf[u], u0[u], itf[pos], it0[pos], itf[neg], it0[neg],
                 cfg.Lambda, cfg.bpr_variant,
@@ -153,6 +158,9 @@ def make_train_step(
         updates, opt_state = tx.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    def step(params: LightGCNParams, opt_state, key: jax.Array):
+        return _step(params, opt_state, key, graph, prop_graph, row_ptr)
 
     return step, tx
 
@@ -288,6 +296,9 @@ def get_metrics(
         chunk_fn = partial(_metrics_chunk, k=cfg.k)
 
     users = eval_set.users
+    cap = getattr(cfg, "eval_user_cap", None)
+    if cap is not None and len(users) > cap:
+        users = users[:cap]
     b = len(users)
     rs = hs = ns = cnt = 0.0
     for s in range(0, b, chunk):

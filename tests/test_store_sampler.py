@@ -1,0 +1,198 @@
+"""DB-backed sampler parity — the TPU version of the reference's
+backend-parity hook (``tests/test_dataset.py:25-93`` with
+``graph_database=True``: in-process sampler and store-backed sampler must
+produce identical subgraphs; the reference needs a live Neo4j server for it,
+here ``InMemoryGraphStore`` answers the SAME Cypher through ``run_match``).
+"""
+import numpy as np
+import pytest
+
+from laplace_gnn_recommendation_tpu.configs import Config
+from laplace_gnn_recommendation_tpu.constants import (
+    EDGE_KEY,
+    EDGE_KEY_EXTRA,
+    NODE_EXTRA,
+    NODE_ITEM,
+    NODE_USER,
+)
+from laplace_gnn_recommendation_tpu.data.graph import HostCSR
+from laplace_gnn_recommendation_tpu.data.matchers import Matcher
+from laplace_gnn_recommendation_tpu.data.sampler import SubgraphSampler
+from laplace_gnn_recommendation_tpu.data.store_sampler import (
+    GraphStoreSampler,
+    InMemoryGraphStore,
+)
+from laplace_gnn_recommendation_tpu.data.synthetic import (
+    manual_dummy_graph,
+    random_hetero_graph,
+)
+
+# node LABEL == node type name, exactly the bulk-import encoding
+# (graph_store.export_bulk_import_csvs writes :LABEL = Constants.node_user)
+LABELS = {NODE_USER: NODE_USER, NODE_ITEM: NODE_ITEM, NODE_EXTRA: NODE_EXTRA}
+
+
+def _store_from(graph, split=None):
+    s, d = graph.edges[EDGE_KEY]
+    edge_split = {EDGE_KEY: np.zeros(len(s), np.int64) if split is None else split}
+    edges = {EDGE_KEY: (s, d)}
+    if EDGE_KEY_EXTRA in graph.edges:
+        edges[EDGE_KEY_EXTRA] = graph.edges[EDGE_KEY_EXTRA]
+        edge_split[EDGE_KEY_EXTRA] = None
+    return InMemoryGraphStore(LABELS, edges, edge_split)
+
+
+def _csrs(graph):
+    s, d = graph.edges[EDGE_KEY]
+    nu, ni = graph.num_nodes[NODE_USER], graph.num_nodes[NODE_ITEM]
+    return (
+        HostCSR.from_edges(s, d, nu, ni),
+        HostCSR.from_edges(d, s, ni, nu),
+    )
+
+
+def _edge_pairs(batch):
+    """Subgraph edges as a sorted set of GLOBAL (user, item) pairs."""
+    m = np.asarray(batch.edge_mask)
+    src = np.asarray(batch.user_ids)[np.asarray(batch.edge_src)[m]]
+    dst = np.asarray(batch.item_ids)[np.asarray(batch.edge_dst)[m]]
+    return sorted(zip(src.tolist(), dst.tolist()))
+
+
+class StaticMatcher(Matcher):
+    def __init__(self, table):
+        self.table = table
+
+    def get_matches(self, user_id):
+        return np.asarray(self.table[int(user_id)], np.int64)
+
+
+class TestStoreSamplerParity:
+    def test_train_parity_deterministic(self):
+        """In-process BFS sampler == store-backed sampler, batch over every
+        user of the golden dummy graph (saturating neighborhoods)."""
+        g = manual_dummy_graph()
+        # n_hop=6 saturates BOTH backends on the dummy graph: the
+        # in-process BFS explores n USER-hops (~2n relationship levels)
+        # while subgraphAll's maxLevel counts relationship STEPS — the
+        # reference has the identical n-vs-maxLevel discrepancy
+        # (dataset.py:258-293 vs dataset_neo.py:51-57), so parity is
+        # defined at saturation, exactly like its integrity test.
+        cfg = Config(
+            batch_size=3, num_neighbors=100, n_hop_neighbors=6, k=4,
+            candidate_pool_size=4,
+        )
+        ucsr, icsr = _csrs(g)
+        kw = dict(train=True, randomization=False, seed=0)
+        s_mem = SubgraphSampler(cfg, ucsr, icsr, use_native=False, **kw)
+        s_db = GraphStoreSampler(
+            cfg, _store_from(g), ucsr, icsr, split_type="train", **kw
+        )
+        seeds = np.array([0, 1, 2])
+        b1 = s_mem.sample_batch(seeds)
+        b2 = s_db.sample_batch(seeds)
+        assert s_db.store.queries_served == 3  # one Cypher per seed
+        assert _edge_pairs(b1) == _edge_pairs(b2)
+        for f in ("user_ids", "item_ids", "user_mask", "item_mask",
+                  "label_src", "label_dst", "label", "label_mask",
+                  "label_item_global", "seed_users", "seed_slots",
+                  "gt_items", "gt_count"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(b1, f)), np.asarray(getattr(b2, f)), err_msg=f
+            )
+
+    def test_eval_parity_with_matchers(self):
+        g = manual_dummy_graph()
+        cfg = Config(
+            batch_size=3, num_neighbors=100, n_hop_neighbors=6, k=4,
+            candidate_pool_size=4,
+        )
+        ucsr, icsr = _csrs(g)
+        matcher = StaticMatcher({0: [3, 4], 1: [0, 5], 2: [0, 1, 4]})
+        kw = dict(
+            train=False, randomization=False, seed=0, matchers=[matcher]
+        )
+        s_mem = SubgraphSampler(cfg, ucsr, icsr, use_native=False, **kw)
+        s_db = GraphStoreSampler(
+            cfg, _store_from(g), ucsr, icsr, split_type="test", **kw
+        )
+        seeds = np.array([0, 1, 2])
+        b1 = s_mem.sample_batch(seeds)
+        b2 = s_db.sample_batch(seeds)
+        assert _edge_pairs(b1) == _edge_pairs(b2)
+        np.testing.assert_array_equal(
+            np.asarray(b1.label_item_global), np.asarray(b2.label_item_global)
+        )
+        np.testing.assert_array_equal(np.asarray(b1.label), np.asarray(b2.label))
+
+    def test_split_relationship_filter(self):
+        """The progressive _TRAIN|_VAL|_TEST relationship filter reaches the
+        store: a val-only edge is invisible to the train-split sampler and
+        visible to the val-split one (reference ``neo4j_database.py:34-44``)."""
+        g = manual_dummy_graph()
+        s, d = g.edges[EDGE_KEY]
+        split = np.zeros(len(s), np.int64)
+        # (1, 4) goes to VAL — it is a hop edge for seed 0, not a positive
+        val_edge = int(np.flatnonzero((s == 1) & (d == 4))[0])
+        split[val_edge] = 1
+        store = _store_from(g, split)
+        cfg = Config(
+            batch_size=1, num_neighbors=100, n_hop_neighbors=3, k=4,
+            candidate_pool_size=4,
+        )
+        ucsr, icsr = _csrs(g)
+        kw = dict(train=True, randomization=False, seed=0)
+        b_train = GraphStoreSampler(
+            cfg, store, ucsr, icsr, split_type="train", **kw
+        ).sample_batch(np.array([0]))
+        b_val = GraphStoreSampler(
+            cfg, store, ucsr, icsr, split_type="val", **kw
+        ).sample_batch(np.array([0]))
+        assert (1, 4) not in _edge_pairs(b_train)
+        assert (1, 4) in _edge_pairs(b_val)
+
+    def test_other_edge_types_ride_along(self):
+        """Multi-edge-type generalization (``dataset_neo.py:67-93,140-168``):
+        ``other_edge_types`` come back from the store per batch."""
+        g = random_hetero_graph(
+            seed=3, num_users=10, num_items=12, avg_degree=3, num_extra=4
+        )
+        cfg = Config(
+            batch_size=2, num_neighbors=100, n_hop_neighbors=2, k=4,
+            candidate_pool_size=4,
+            other_edge_types=[EDGE_KEY_EXTRA],
+        )
+        ucsr, icsr = _csrs(g)
+        s_db = GraphStoreSampler(
+            cfg, _store_from(g), ucsr, icsr, split_type="train",
+            train=True, randomization=False, seed=0,
+        )
+        batch = s_db.sample_batch(np.array([0, 1]))
+        assert EDGE_KEY_EXTRA in s_db.last_other_edges
+        extra = s_db.last_other_edges[EDGE_KEY_EXTRA]
+        assert extra.shape[0] == 2 and extra.shape[1] > 0
+        # every returned has_color edge is a real one
+        es, ed = g.edges[EDGE_KEY_EXTRA]
+        real = set(zip(es.tolist(), ed.tolist()))
+        assert set(zip(extra[0].tolist(), extra[1].tolist())) <= real
+        # and the batch itself is well-formed
+        assert np.asarray(batch.label_mask).any()
+
+    def test_randomized_mode_structurally_valid(self):
+        g = random_hetero_graph(seed=5, num_users=20, num_items=25, avg_degree=4)
+        cfg = Config(
+            batch_size=4, num_neighbors=8, n_hop_neighbors=2, k=4,
+            candidate_pool_size=4,
+        )
+        ucsr, icsr = _csrs(g)
+        s_db = GraphStoreSampler(
+            cfg, _store_from(g), ucsr, icsr, split_type="train",
+            train=True, randomization=True, seed=7,
+        )
+        batch = s_db.sample_batch(np.arange(4))
+        m = np.asarray(batch.edge_mask)
+        assert m.any()
+        # all masked edges point at valid slots
+        assert (np.asarray(batch.edge_src)[m] < len(np.asarray(batch.user_ids))).all()
+        lm = np.asarray(batch.label_mask)
+        assert (np.asarray(batch.label)[lm] >= 0).all()
