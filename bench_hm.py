@@ -81,7 +81,7 @@ def bench_train(data):
 
     cfg = LightGCNConfig(
         hidden_layer_size=DIM, num_iterations=K, batch_size=BATCH,
-        epochs=30, eval_every=15, eval_user_cap=20_000, Lambda=1e-6,
+        epochs=20, eval_every=20, eval_user_cap=20_000, Lambda=1e-6,
         propagation="auto", dense_bytes_budget=4 << 30,  # 288 GB needed → blocked
     )
     t0 = time.perf_counter()
@@ -162,7 +162,7 @@ def main():
         "data_build_s": round(build_s, 1),
         "train": {
             "propagation": prop_kind,
-            "epochs": 30,
+            "epochs": 20,
             "end_to_end_wall_s": round(wall, 1),
             "edges_per_sec_per_chip": round(tpu_eps, 1),
             "final_loss": stats.loss,

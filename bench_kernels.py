@@ -156,17 +156,87 @@ def main():
         peak_flops=peak_flops, peak_bytes=peak_bytes,
     ))
 
+    # ---- full train step MFU (the BASELINE.md deliverable) ---------------
+    # ML-1M shape, dense MXU path (what select_propagation picks there).
+    from laplace_gnn_recommendation_tpu.configs import LightGCNConfig
+    from laplace_gnn_recommendation_tpu.models.lightgcn import init_lightgcn
+    from laplace_gnn_recommendation_tpu.train.lightgcn_pipeline import (
+        make_train_step,
+    )
+
+    K, BATCH = 4, 2048
+    cfg = LightGCNConfig(
+        hidden_layer_size=D, num_iterations=K, batch_size=BATCH
+    )
+    params = init_lightgcn(jax.random.PRNGKey(0), U, I, D)
+    max_deg = int(np.asarray(g.user_deg).max())
+    step, tx = make_train_step(cfg, g, max_deg, prop_graph=dense)
+    opt_state = tx.init(params)
+    keys = jax.random.split(jax.random.PRNGKey(1), 64)
+    ki = [0]
+
+    def run_step():
+        nonlocal_params = run_step.state
+        p, o, loss = step(*nonlocal_params, keys[ki[0] % 64])
+        ki[0] += 1
+        run_step.state = (p, o)
+        return loss
+
+    run_step.state = (params, opt_state)
+    t = timeit(run_step, n=10, loops=3)
+    # dense-path matmul FLOPs: K iterations × 2 directions × 2·U·I·D each,
+    # forward + one transposed matmul per fwd matmul in backward ≈ 2×.
+    step_flops = 2 * (K * 2 * 2 * U * I * D)
+    mfu = step_flops / t / peak_flops
+    step_roofline = Roofline(
+        name="train_step", seconds=t, flops=step_flops,
+        bytes_moved=2 * K * 2 * U * I * 2,
+        peak_flops=peak_flops, peak_bytes=peak_bytes,
+    )
+    print(step_roofline.report() + f", MFU={100*mfu:.1f}%", file=sys.stderr)
+
     summary = {}
     for r in rows:
         print(r.report(), file=sys.stderr)
         summary[r.name] = round(r.fraction_of_peak, 4)
     worst = min(summary.values())
+
+    # persistent speed-of-light artifact (BASELINE.md: "lookup /
+    # message-passing / scoring kernels profiled at speed-of-light")
+    roofline = {
+        "peaks": {
+            "flops_bf16": peak_flops,
+            "hbm_bytes_per_s_practical": peak_bytes,
+            "note": (
+                "819 GB/s is v5e's nominal HBM peak; 260 GB/s is the "
+                "measured practical stream ceiling on this chip through "
+                "the relay (round-1 profiling) and is what fractions are "
+                "scored against"
+            ),
+        },
+        "kernels": {
+            r.name: {
+                "seconds": r.seconds,
+                "achieved_tflops": r.achieved_flops / 1e12,
+                "achieved_gbps": r.achieved_bandwidth / 1e9,
+                "arithmetic_intensity": r.arithmetic_intensity,
+                "bound": r.bound,
+                "fraction_of_peak": r.fraction_of_peak,
+            }
+            for r in rows + [step_roofline]
+        },
+        "train_step_mfu": mfu,
+    }
+    with open("ROOFLINE.json", "w") as fjson:
+        json.dump(roofline, fjson, indent=1)
+
     print(json.dumps({
         "metric": "kernel_fraction_of_peak_min",
         "value": worst,
         "unit": "fraction",
         "vs_baseline": None,
         "kernels": summary,
+        "train_step_mfu": round(mfu, 4),
     }))
 
 

@@ -22,6 +22,22 @@ class Matcher:
     def get_matches(self, user_id: int) -> np.ndarray:
         raise NotImplementedError
 
+    def get_matches_batch(self, user_ids: np.ndarray) -> np.ndarray:
+        """Candidates for a whole batch as one padded [B, W] matrix (-1
+        pads). Base implementation loops :meth:`get_matches`; subclasses
+        override with vectorized/native paths — this is what lets eval
+        batch assembly run in one C++ call (``native.assemble_train_batch``
+        with ``eval_cands``) instead of per-user Python."""
+        rows = [
+            np.asarray(self.get_matches(int(u)), np.int64).ravel()
+            for u in user_ids
+        ]
+        w = max((len(r) for r in rows), default=0) or 1
+        out = np.full((len(rows), w), -1, np.int64)
+        for i, r in enumerate(rows):
+            out[i, : len(r)] = r
+        return out
+
 
 class LightGCNMatcher(Matcher):
     """Top-k from the LightGCN artifact (reference ``data/matching/
@@ -35,6 +51,9 @@ class LightGCNMatcher(Matcher):
     def get_matches(self, user_id: int) -> np.ndarray:
         return self.top_articles_per_user[user_id][: self.k]
 
+    def get_matches_batch(self, user_ids: np.ndarray) -> np.ndarray:
+        return self.top_articles_per_user[np.asarray(user_ids)][:, : self.k]
+
 
 class PopularItemsMatcher(Matcher):
     """Most-popular items, same list for every user (reference
@@ -46,6 +65,11 @@ class PopularItemsMatcher(Matcher):
 
     def get_matches(self, user_id: int) -> np.ndarray:
         return self.popular_items[: self.k]
+
+    def get_matches_batch(self, user_ids: np.ndarray) -> np.ndarray:
+        return np.broadcast_to(
+            self.popular_items[: self.k], (len(user_ids), min(self.k, len(self.popular_items)))
+        )
 
 
 class UsersWithCommonItemsMatcher(Matcher):
@@ -75,6 +99,19 @@ class UsersWithCommonItemsMatcher(Matcher):
                 if len(out) >= self.k:
                     return np.array(out[: self.k], np.int64)
         return np.array(out, np.int64)
+
+    def get_matches_batch(self, user_ids: np.ndarray) -> np.ndarray:
+        """One OpenMP-parallel native call for the whole batch (identical
+        traversal order; ``native.common_items_matches``)."""
+        from .. import native
+
+        if native.LIB is None:
+            return super().get_matches_batch(user_ids)
+        return native.common_items_matches(
+            self.users.row_ptr, self.users.cols,
+            self.items.row_ptr, self.items.cols,
+            np.asarray(user_ids, np.int32), self.k,
+        ).astype(np.int64)
 
 
 class UsersSameLocationMatcher(Matcher):

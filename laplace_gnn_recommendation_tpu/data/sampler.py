@@ -299,8 +299,25 @@ class SubgraphSampler:
         b = len(seed_users)
         valid_rows = b if valid_rows is None else valid_rows
 
-        if self._native is not None and self.randomization and self.train:
-            batch = self._sample_batch_native(seed_users, b, valid_rows)
+        if self._native is not None and self.randomization:
+            if self.train:
+                batch = self._sample_batch_native(seed_users, b, valid_rows)
+            else:
+                # eval fast path: batched matcher candidates + one C++ call
+                # (XOR-vs-positives happens natively; the latency-critical
+                # RankingServer.recommend path rides this)
+                cands = np.concatenate(
+                    [
+                        np.asarray(
+                            m.get_matches_batch(seed_users), np.int64
+                        ).reshape(len(seed_users), -1)
+                        for m in self.matchers
+                    ],
+                    axis=1,
+                ).astype(np.int32)
+                batch = self._sample_batch_native(
+                    seed_users, b, valid_rows, eval_cands=cands
+                )
             if batch is not None:
                 return batch
 
@@ -412,14 +429,17 @@ class SubgraphSampler:
         )
 
     def _sample_batch_native(
-        self, seed_users: np.ndarray, b: int, valid_rows: int
+        self, seed_users: np.ndarray, b: int, valid_rows: int,
+        eval_cands: Optional[np.ndarray] = None,
     ) -> Optional[SubgraphBatch]:
         """Whole-batch assembly in one C++ call (BFS + pos/neg sampling +
         slot maps + edge/label grids — ROADMAP device-side sampler stage).
-        Returns None when a budget would overflow; the caller then runs the
-        Python (truncating) path. RNG is the library's splitmix64 stream —
-        distributionally equivalent to the numpy path, not bit-identical
-        (same caveat as the native BFS)."""
+        ``eval_cands`` ([B, W], -1 pads) switches negatives to the eval
+        semantics (matcher candidates XOR positives). Returns None when a
+        budget would overflow; the caller then runs the Python (truncating)
+        path. RNG is the library's splitmix64 stream — distributionally
+        equivalent to the numpy path, not bit-identical (same caveat as the
+        native BFS)."""
         cfg, bud = self.cfg, self.budgets
         out = self._native.assemble_train_batch(
             self.users.row_ptr, self.users.cols,
@@ -432,6 +452,7 @@ class SubgraphSampler:
             int(self.rng.integers(0, 2 ** 62)),
             bud.num_user_slots, bud.num_item_slots, bud.num_edges,
             bud.labels_per_user, bud.gt_per_user,
+            eval_cands=eval_cands,
         )
         if out is None:
             return None

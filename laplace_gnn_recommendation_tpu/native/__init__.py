@@ -71,6 +71,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_uint64,
         i32p, f32p,
     ]
+    lib.common_items_matches.restype = None
+    lib.common_items_matches.argtypes = [
+        i64p, i32p, i64p, i32p,
+        i32p, ctypes.c_int64, ctypes.c_int32, i32p,
+    ]
     lib.walk_step.restype = None
     lib.walk_step.argtypes = [
         i64p, i32p, i64p, i32p,
@@ -86,6 +91,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_double, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int64,
         ctypes.c_uint64,
+        i32p, ctypes.c_int64,     # eval_cands [B, W], cand_width (0=train)
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64,
         i32p, i32p, u8p, u8p,
@@ -99,6 +105,46 @@ def _load() -> Optional[ctypes.CDLL]:
 
 
 LIB = _load()
+
+_SANITIZE_FLAGS = {
+    "asan": ["-fsanitize=address,undefined", "-fno-sanitize-recover=all"],
+    # libgomp is not TSAN-instrumented (its fork-join hand-off reads as a
+    # race on the capture struct); the TSAN build swaps the OpenMP regions
+    # for the std::thread pool in sampler.cpp, which TSAN sees fully
+    "tsan": ["-fsanitize=thread", "-DSAMPLER_STD_THREADS"],
+}
+
+
+def run_sanitizer_check(mode: str = "asan", timeout: float = 600.0):
+    """Build sampler.cpp + sanitize_check.cpp under a sanitizer and run the
+    standalone driver (SURVEY §5: the reference has no native code and needs
+    no sanitizers; this build does — OpenMP BFS/walk/assembly over shared
+    generation-stamped scratch).
+
+    ``mode``: ``asan`` (ASAN+UBSAN) or ``tsan`` (the OpenMP paths). Returns
+    (ok, output). A standalone binary, not an LD_PRELOAD into Python, so the
+    runtimes initialize cleanly and OpenMP runs exactly as in production.
+    """
+    flags = _SANITIZE_FLAGS[mode]
+    driver = os.path.join(_DIR, "sanitize_check.cpp")
+    os.makedirs(_BUILD, exist_ok=True)
+    exe = os.path.join(_BUILD, f"sanitize_check_{mode}")
+    cmd = [
+        "g++", "-O1", "-g", "-fopenmp", "-fPIC", *flags,
+        _SRC, driver, "-o", exe,
+    ]
+    build = subprocess.run(cmd, capture_output=True, text=True)
+    if build.returncode != 0:
+        return False, f"build failed:\n{build.stderr}"
+    env = dict(os.environ)
+    env.setdefault("ASAN_OPTIONS", "detect_leaks=1")
+    # bound OpenMP so TSAN's shadow memory stays reasonable
+    env.setdefault("OMP_NUM_THREADS", "4")
+    run = subprocess.run(
+        [exe], capture_output=True, text=True, timeout=timeout, env=env
+    )
+    out = run.stdout + run.stderr
+    return run.returncode == 0, out
 
 # Persistent slot/stamp scratch for assemble_train_batch, keyed by graph
 # size. Generation stamping lets the C side skip the O(V) per-call clear:
@@ -161,12 +207,25 @@ def assemble_train_batch(
     id_max: int, total_edges: int, rng_seed: int,
     num_user_slots: int, num_item_slots: int, num_edges: int,
     labels_per_user: int, gt_per_user: int,
+    eval_cands=None,
 ):
-    """One native call → all padded TRAIN batch arrays, or None when a
-    budget would overflow (caller falls back to the Python path)."""
+    """One native call → all padded batch arrays, or None when a budget
+    would overflow (caller falls back to the Python path).
+
+    ``eval_cands`` ([B, W] int32, -1 pads) switches the negatives to the
+    EVAL semantics: matcher candidates XOR positives (count-one), the
+    reference's ``data/dataset.py:93-106``. ``None`` = train (random
+    negatives)."""
     assert LIB is not None
     seeds = np.ascontiguousarray(seeds, np.int32)
     b = len(seeds)
+    if eval_cands is None:
+        cand_arr = np.zeros((b, 1), np.int32)
+        cand_width = 0
+    else:
+        cand_arr = np.ascontiguousarray(eval_cands, np.int32)
+        assert cand_arr.shape[0] == b
+        cand_width = cand_arr.shape[1]
     out = dict(
         user_ids=np.empty(num_user_slots, np.int32),
         item_ids=np.empty(num_item_slots, np.int32),
@@ -197,6 +256,7 @@ def assemble_train_batch(
         float(pos_ratio), float(neg_ratio), int(k),
         int(id_max), int(total_edges),
         np.uint64(rng_seed & 0xFFFFFFFFFFFFFFFF),
+        cand_arr, cand_width,
         num_user_slots, num_item_slots, num_edges,
         labels_per_user, gt_per_user,
         out["user_ids"], out["item_ids"], out["user_mask"], out["item_mask"],
@@ -211,6 +271,25 @@ def assemble_train_batch(
     if rc != 0:
         return None
     out["label_truncations"] = int(stats[0])
+    return out
+
+
+def common_items_matches(
+    user_row_ptr, user_cols, item_row_ptr, item_cols,
+    users: np.ndarray, k: int,
+) -> np.ndarray:
+    """Batched collaborative 2-hop candidates, [B, k] int32 (-1 pads) —
+    the native fast path of ``matchers.UsersWithCommonItemsMatcher``."""
+    assert LIB is not None
+    users = np.ascontiguousarray(users, np.int32)
+    out = np.empty((len(users), k), np.int32)
+    LIB.common_items_matches(
+        np.ascontiguousarray(user_row_ptr, np.int64),
+        np.ascontiguousarray(user_cols, np.int32),
+        np.ascontiguousarray(item_row_ptr, np.int64),
+        np.ascontiguousarray(item_cols, np.int32),
+        users, len(users), int(k), out,
+    )
     return out
 
 

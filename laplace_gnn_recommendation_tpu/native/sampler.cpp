@@ -10,6 +10,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -fopenmp sampler.cpp -o libsampler.so
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
@@ -19,6 +20,49 @@
 
 #ifdef _OPENMP
 #include <omp.h>
+#endif
+
+// Per-seed parallel map with one thread-local context per worker.
+//
+// Production builds use OpenMP. TSAN builds (-DSAMPLER_STD_THREADS, see
+// native.run_sanitizer_check) swap in a std::thread pool with an atomic
+// work counter: libgomp is not TSAN-instrumented, so its fork-join
+// hand-off reads as a race on main's capture struct (a known false
+// positive); std::thread creation/join and the atomic fetch_add are fully
+// TSAN-visible, and the USER code under test — BFS, sampling, assembly
+// over shared per-seed vectors — is byte-for-byte the same.
+#ifdef SAMPLER_STD_THREADS
+#include <thread>
+template <typename MakeCtx, typename Fn>
+static void parallel_seeds(int64_t n, MakeCtx&& make_ctx, Fn&& fn) {
+  const unsigned hw = std::thread::hardware_concurrency();
+  const int64_t nt = std::min<int64_t>(std::max(1u, hw), std::max<int64_t>(n, 1));
+  std::atomic<int64_t> next(0);
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  for (int64_t t = 0; t < nt; ++t) {
+    workers.emplace_back([&]() {
+      auto ctx = make_ctx();
+      for (int64_t s; (s = next.fetch_add(1, std::memory_order_relaxed)) < n;)
+        fn(ctx, s);
+    });
+  }
+  for (auto& w : workers) w.join();
+}
+#else
+template <typename MakeCtx, typename Fn>
+static void parallel_seeds(int64_t n, MakeCtx&& make_ctx, Fn&& fn) {
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    auto ctx = make_ctx();
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+    for (int64_t s = 0; s < n; ++s) fn(ctx, s);
+  }
+}
 #endif
 
 namespace {
@@ -138,23 +182,17 @@ int64_t nhop_sample(
     int64_t* out_offsets) {
   std::vector<std::vector<int32_t>> srcs(num_seeds), dsts(num_seeds);
 
-#ifdef _OPENMP
-#pragma omp parallel
-#endif
-  {
-    // generation-stamped membership arrays: O(1) dedup with no hashing
-    // (the per-hop user unions touch O(articles · item_degree) entries)
-    BfsScratch sc(num_users);
-
-#ifdef _OPENMP
-#pragma omp for schedule(dynamic)
-#endif
-    for (int64_t s = 0; s < num_seeds; ++s) {
-      Rng rng(rng_seed * 0x9e3779b97f4a7c15ULL + (uint64_t)s * 0xda942042e4dd58b5ULL);
-      bfs_seed(user_row_ptr, user_cols, item_row_ptr, item_cols,
-               seeds[s], n_hops, num_neighbors, s, rng, sc, srcs[s], dsts[s]);
-    }
-  }
+  // thread-local generation-stamped membership arrays: O(1) dedup with no
+  // hashing (the per-hop user unions touch O(articles · item_degree) entries)
+  parallel_seeds(
+      num_seeds,
+      [&]() { return BfsScratch(num_users); },
+      [&](BfsScratch& sc, int64_t s) {
+        Rng rng(rng_seed * 0x9e3779b97f4a7c15ULL +
+                (uint64_t)s * 0xda942042e4dd58b5ULL);
+        bfs_seed(user_row_ptr, user_cols, item_row_ptr, item_cols,
+                 seeds[s], n_hops, num_neighbors, s, rng, sc, srcs[s], dsts[s]);
+      });
 
   int64_t total = 0;
   out_offsets[0] = 0;
@@ -186,10 +224,7 @@ void pinsage_frontier(
     int32_t num_walks, int32_t num_neighbors,
     uint64_t rng_seed,
     int32_t* out_src, float* out_w) {
-#ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic)
-#endif
-  for (int64_t s = 0; s < num_seeds; ++s) {
+  parallel_seeds(num_seeds, []() { return 0; }, [&](int, int64_t s) {
     Rng rng(rng_seed * 0xda942042e4dd58b5ULL + (uint64_t)s * 0x9e3779b97f4a7c15ULL);
     const int32_t seed_item = seeds[s];
     std::unordered_map<int32_t, int32_t> counts;
@@ -223,7 +258,7 @@ void pinsage_frontier(
         out_w[base + j] = 0.0f;
       }
     }
-  }
+  });
 }
 
 // One item→user→item metapath step for a batch of items (the tail draw of
@@ -272,6 +307,12 @@ int64_t assemble_train_batch(
     double pos_ratio, double neg_ratio, int32_t k,
     int32_t id_max, int64_t total_edges,
     uint64_t rng_seed,
+    // EVAL mode: when cand_width > 0, negatives are the matcher candidates
+    // XOR the user's positives (count-one semantics of data/dataset.py:
+    // 93-106) instead of random draws. eval_cands is [num_seeds, cand_width]
+    // with -1 pads; rows may contain duplicates (they are deduped here,
+    // matching the Python path's np.unique over concatenated matchers).
+    const int32_t* eval_cands, int64_t cand_width,
     int64_t num_user_slots, int64_t num_item_slots, int64_t num_edges,
     int64_t labels_per_user, int64_t gt_per_user,
     int32_t* user_ids, int32_t* item_ids,
@@ -289,15 +330,10 @@ int64_t assemble_train_batch(
   std::vector<std::vector<int32_t>> hsrcs(num_seeds), hdsts(num_seeds);
   std::vector<std::vector<int32_t>> pos_draws(num_seeds), negs(num_seeds);
 
-#ifdef _OPENMP
-#pragma omp parallel
-#endif
-  {
-    BfsScratch sc(num_users);
-#ifdef _OPENMP
-#pragma omp for schedule(dynamic)
-#endif
-    for (int64_t s = 0; s < num_seeds; ++s) {
+  parallel_seeds(
+      num_seeds,
+      [&]() { return BfsScratch(num_users); },
+      [&](BfsScratch& sc, int64_t s) {
       Rng rng(rng_seed * 0x9e3779b97f4a7c15ULL +
               (uint64_t)s * 0xda942042e4dd58b5ULL);
       bfs_seed(user_row_ptr, user_cols, item_row_ptr, item_cols,
@@ -310,6 +346,26 @@ int64_t assemble_train_batch(
           deg > 0 ? std::max<int64_t>(1, (int64_t)(deg * pos_ratio)) : 0;
       for (int64_t i = 0; i < cut; ++i)
         pos_draws[s].push_back((int32_t)rng.bounded((uint64_t)deg));
+      if (cand_width > 0) {
+        // eval: sorted unique candidates, then count-one vs positives
+        std::vector<int32_t> cv;
+        cv.reserve(cand_width);
+        const int32_t* crow = eval_cands + s * cand_width;
+        for (int64_t j = 0; j < cand_width; ++j)
+          if (crow[j] >= 0) cv.push_back(crow[j]);
+        std::sort(cv.begin(), cv.end());
+        cv.erase(std::unique(cv.begin(), cv.end()), cv.end());
+        std::vector<int32_t> merged(cv);
+        for (int64_t e = 0; e < deg; ++e) merged.push_back(user_cols[lo + e]);
+        std::sort(merged.begin(), merged.end());
+        for (size_t j = 0; j < merged.size();) {
+          size_t j2 = j;
+          while (j2 < merged.size() && merged[j2] == merged[j]) ++j2;
+          if (j2 - j == 1) negs[s].push_back(merged[j]);
+          j = j2;
+        }
+        return;  // no random negatives in eval mode
+      }
       const int64_t n_pos = cut;
       const int64_t num_neg =
           n_pos <= 1 ? (int64_t)(k - 1)
@@ -338,8 +394,7 @@ int64_t assemble_train_batch(
           }
         }
       }
-    }
-  }
+      });
 
   // --- slot assignment (serial): ascending-global-id slots ----------------
   // Generation-stamped persistent buffers (caller-owned): no per-call
@@ -444,6 +499,36 @@ int64_t assemble_train_batch(
   }
   stats[0] = label_trunc;
   return 0;
+}
+
+// Batched UsersWithCommonItemsMatcher (reference data/matching/
+// users_with_common_purchases.py:8-26): for each user, walk its articles in
+// CSR order, each article's co-purchasers in CSR order, each co-purchaser's
+// items in CSR order, collecting until k — the exact traversal order of the
+// Python matcher (concat-then-[:k] semantics with early break). One OpenMP
+// task per user; out is [num_seeds, k] padded with -1.
+void common_items_matches(
+    const int64_t* user_row_ptr, const int32_t* user_cols,
+    const int64_t* item_row_ptr, const int32_t* item_cols,
+    const int32_t* users, int64_t num_seeds, int32_t k,
+    int32_t* out) {
+  parallel_seeds(num_seeds, []() { return 0; }, [&](int, int64_t s) {
+    int32_t* row = out + s * k;
+    int32_t n = 0;
+    const int32_t u = users[s];
+    for (int64_t a = user_row_ptr[u]; a < user_row_ptr[u + 1] && n < k; ++a) {
+      const int32_t art = user_cols[a];
+      for (int64_t p = item_row_ptr[art];
+           p < item_row_ptr[art + 1] && n < k; ++p) {
+        const int32_t peer = item_cols[p];
+        for (int64_t i = user_row_ptr[peer];
+             i < user_row_ptr[peer + 1] && n < k; ++i) {
+          row[n++] = user_cols[i];
+        }
+      }
+    }
+    for (; n < k; ++n) row[n] = -1;
+  });
 }
 
 }  // extern "C"

@@ -134,11 +134,11 @@ MAX_CHUNKS_PER_SLICE = 16384
 
 def _blocked_partial_contract(src, w, local_row, table, r_c, e_c, precision):
     """messages → per-chunk partial rows: [C_s, R_c, D]."""
-    msgs = w[..., None] * table[src]                            # [C_s, E_c, D]
+    msgs = w[..., None] * table[src].astype(jnp.float32)        # [C_s, E_c, D]
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (1, r_c, e_c), 1)
         == local_row[:, None, :]
-    ).astype(table.dtype)                                       # [C_s, R_c, E_c]
+    ).astype(jnp.float32)                                       # [C_s, R_c, E_c]
     return jax.lax.dot_general(
         onehot, msgs,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -151,6 +151,7 @@ def blocked_segment_sum(
     plan: BlockedSegmentPlan,
     table: jnp.ndarray,
     precision="highest",
+    gather_bf16: bool = False,
 ) -> jnp.ndarray:
     """Σ_{e: dst(e)=r} w_e · table[src(e)] for every row r — [num_rows, D].
 
@@ -158,7 +159,18 @@ def blocked_segment_sum(
     relative error vs segment_sum at ML-1M scale) at no measurable cost over
     the bf16 default (5.45 ms vs 5.38 ms) — the contraction is gather-bound,
     not MXU-bound.
+
+    ``gather_bf16`` casts the source table to bf16 BEFORE the per-edge
+    gather (weights and accumulation stay f32). The gather is the binding
+    resource and its rate collapses on large tables (measured on v5e:
+    39M rows/s from a 176 MB f32 table vs 75M rows/s from the same table in
+    bf16; small tables run ~190-270M rows/s either way) — so halving row
+    bytes ≈ doubles the big-table direction. Costs one stream-rate cast per
+    call and ~3-digit message precision (comparable to the dense path's
+    bf16 adjacency).
     """
+    if gather_bf16 and table.dtype == jnp.float32:
+        table = table.astype(jnp.bfloat16)
     c = plan.src.shape[0]
     r_c, e_c = plan.rows_per_chunk, plan.edges_per_chunk
     d = table.shape[-1]
@@ -171,39 +183,46 @@ def blocked_segment_sum(
             partials.reshape(-1, d), mode="drop"
         )
 
-    # big-graph path: scan over bounded chunk slices, accumulating into the
-    # output table (pad chunks carry w=0 and row_ids=num_rows → no-ops)
+    # big-graph path: scan over bounded chunk slices EMITTING partials, one
+    # scatter at the end (pad chunks carry w=0 and row_ids=num_rows →
+    # no-ops). Carrying the [num_rows, D] table through the scan instead
+    # would read-modify-write it once per slice — ~4.7 GB of carry traffic
+    # per segment-sum at H&M scale, 5× the actual message traffic.
     s = MAX_CHUNKS_PER_SLICE
     g = -(-c // s)
     pad = g * s - c
     src = jnp.pad(plan.src, ((0, pad), (0, 0))).reshape(g, s, e_c)
     w = jnp.pad(plan.w, ((0, pad), (0, 0))).reshape(g, s, e_c)
     local = jnp.pad(plan.local_row, ((0, pad), (0, 0))).reshape(g, s, e_c)
-    rows = jnp.pad(
-        plan.row_ids, ((0, pad), (0, 0)), constant_values=plan.num_rows
-    ).reshape(g, s, r_c)
 
-    def body(acc, xs):
-        src_s, w_s, local_s, rows_s = xs
-        partials = _blocked_partial_contract(
+    def body(carry, xs):
+        src_s, w_s, local_s = xs
+        return carry, _blocked_partial_contract(
             src_s, w_s, local_s, table, r_c, e_c, precision
         )
-        acc = acc.at[rows_s.reshape(-1)].add(
-            partials.reshape(-1, d), mode="drop"
-        )
-        return acc, None
 
-    out0 = jnp.zeros((plan.num_rows, d), jnp.float32)
-    out, _ = jax.lax.scan(body, out0, (src, w, local, rows))
-    return out
+    _, partials = jax.lax.scan(body, 0, (src, w, local))   # [g, s, R_c, D]
+    flat_rows = jnp.pad(
+        plan.row_ids, ((0, pad), (0, 0)), constant_values=plan.num_rows
+    ).reshape(-1)
+    out = jnp.zeros((plan.num_rows, d), jnp.float32)
+    return out.at[flat_rows].add(partials.reshape(-1, d), mode="drop")
 
 
 @dataclass
 class BlockedGraph:
-    """Both diffusion directions as blocked plans."""
+    """Both diffusion directions as blocked plans.
+
+    ``gather_bf16`` (static) switches both directions' table gathers to
+    bf16 — set by ``select_propagation`` for graphs whose node tables are
+    large enough that the gather rate collapses (see
+    ``blocked_segment_sum``)."""
 
     to_user: BlockedSegmentPlan   # dst=user, src=item
     to_item: BlockedSegmentPlan   # dst=item, src=user
+    gather_bf16: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
 
     @staticmethod
     def from_graph(
@@ -274,8 +293,8 @@ def propagate_blocked(
     OOM); routing the backward through the forward kernel keeps the layout
     optimal and the peak at one message block."""
     return (
-        blocked_segment_sum(bg.to_user, item_emb),
-        blocked_segment_sum(bg.to_item, user_emb),
+        blocked_segment_sum(bg.to_user, item_emb, gather_bf16=bg.gather_bf16),
+        blocked_segment_sum(bg.to_item, user_emb, gather_bf16=bg.gather_bf16),
     )
 
 
@@ -285,8 +304,8 @@ def _propagate_blocked_fwd(bg, user_emb, item_emb):
 
 def _propagate_blocked_bwd(bg, cts):
     g_u, g_i = cts
-    grad_user = blocked_segment_sum(bg.to_user, g_i)
-    grad_item = blocked_segment_sum(bg.to_item, g_u)
+    grad_user = blocked_segment_sum(bg.to_user, g_i, gather_bf16=bg.gather_bf16)
+    grad_item = blocked_segment_sum(bg.to_item, g_u, gather_bf16=bg.gather_bf16)
     # the plan itself is data, not a trainable: its cotangent is dropped by
     # the caller, so hand back zeros (float0 for the integer leaves) — XLA
     # dead-code-eliminates them

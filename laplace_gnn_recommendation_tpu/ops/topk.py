@@ -74,8 +74,20 @@ def hierarchical_topk(
 
     Falls back to ``lax.top_k`` when I isn't divisible by a usable group
     size or there are fewer than k groups.
+
+    Unaligned item counts are column-padded with -inf up to the group
+    multiple first (real catalogs are rarely 256-aligned — H&M's 104,547
+    items otherwise fell through to the full [B, I] sort, which dominates
+    eval at that scale). Pad columns can never win a slot while any finite
+    score remains.
     """
     b, i = scores.shape
+    if i % group != 0 and i > group * max(k, 1):
+        i_pad = -(-i // group) * group
+        scores = jnp.pad(
+            scores, ((0, 0), (0, i_pad - i)), constant_values=-jnp.inf
+        )
+        i = i_pad
     for tg in (group, 128):
         if i % tg == 0 and i // tg >= k and tg > k:
             g = i // tg

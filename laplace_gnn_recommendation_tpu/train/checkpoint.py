@@ -68,15 +68,42 @@ def load_checkpoint_orbax(path: str, template: Any) -> Any:
     return ckptr.restore(os.path.abspath(path), template)
 
 
+def orbax_available() -> bool:
+    try:
+        import orbax.checkpoint  # noqa: F401
+
+        return True
+    except ImportError:  # pragma: no cover
+        return False
+
+
+def save_state(path_base: str, state: Any, sharded: bool = False) -> str:
+    """Write one checkpoint at ``path_base`` (no extension).
+
+    ``sharded=True`` (pipelines pass it when the mesh's model axis is >1)
+    writes an orbax directory — each host persists only its shards, so
+    row-sharded tables bigger than one host's memory checkpoint fine. The
+    single-host default stays the flat npz. Returns the written path.
+    """
+    if sharded and orbax_available():
+        path = path_base + ".orbax"
+        save_checkpoint_orbax(path, state)
+    else:
+        path = path_base + ".npz"
+        save_checkpoint(path, state)
+    return path
+
+
 def load_latest(directory: str, template: Any, prefix: str = "model_") -> Tuple[Any, Optional[int]]:
     """Pick the checkpoint with the highest version number in its filename —
     reference ``run_submission.py:14-21``. ``model_final`` sorts above any
-    numbered epoch (it is the inflection-point best)."""
+    numbered epoch (it is the inflection-point best). Understands both the
+    npz files and the orbax directories ``save_state`` writes."""
     if not os.path.isdir(directory):
         return template, None
     best_path, best_ver = None, -1
     for name in os.listdir(directory):
-        m = re.match(rf"{re.escape(prefix)}(final|\d+)\.npz$", name)
+        m = re.match(rf"{re.escape(prefix)}(final|\d+)\.(npz|orbax)$", name)
         if not m:
             continue
         ver = 1 << 30 if m.group(1) == "final" else int(m.group(1))
@@ -84,4 +111,6 @@ def load_latest(directory: str, template: Any, prefix: str = "model_") -> Tuple[
             best_ver, best_path = ver, os.path.join(directory, name)
     if best_path is None:
         return template, None
+    if best_path.endswith(".orbax"):
+        return load_checkpoint_orbax(best_path, template), best_ver
     return load_checkpoint(best_path, template), best_ver

@@ -33,7 +33,7 @@ from ..data.link_pred_data import LinkPredData, create_samplers
 from ..data.sampler import SubgraphBatch, SubgraphSampler
 from ..models import sage
 from ..ops.metrics import recall_precision_at_k, topk_hits
-from .checkpoint import save_checkpoint
+from .checkpoint import save_state
 from .reporting import (
     ContinousStatsTest,
     ContinousStatsTrain,
@@ -197,6 +197,21 @@ def run_pipeline(
         }
         state, ver = load_latest(model_dir, template)
         if ver is not None:
+            # restored leaves come back committed to one device; re-place
+            # them with the template's shardings so sharded tables resume
+            # sharded (and jit sees one consistent placement)
+            def _replace(x, t):
+                sh = getattr(t, "sharding", None)
+                if sh is not None and len(sh.device_set) > 1:
+                    return jax.device_put(jnp.asarray(x), sh)
+                if hasattr(x, "dtype"):
+                    # host round-trip drops the restore's single-device
+                    # commitment so jit is free to co-locate with the
+                    # sharded leaves
+                    return jnp.asarray(np.asarray(x))
+                return x
+
+            state = jax.tree.map(_replace, state, template)
             params = state["params"]
             bn_state = state["bn_state"]
             opt_state = state["opt_state"]
@@ -205,6 +220,14 @@ def run_pipeline(
 
     step = make_train_step(cfg, data, tx, mesh=mesh)
     eval_step = make_eval_step(cfg, data, mesh=mesh)
+
+    # sharded runs checkpoint through orbax (per-host shard persistence);
+    # single-host keeps the flat npz — see checkpoint.save_state
+    sharded_ckpt = False
+    if mesh is not None:
+        from ..parallel.mesh import MODEL_AXIS
+
+        sharded_ckpt = mesh.shape[MODEL_AXIS] > 1
 
     old_val_precision = -1.0
     val_recall = val_precision = 0.0
@@ -265,10 +288,11 @@ def run_pipeline(
                     old_val_precision = val_precision
                 else:
                     log_fn("| Saving Best Generalized Model...")
-                    save_checkpoint(
-                        os.path.join(model_dir, "model_final.npz"),
+                    save_state(
+                        os.path.join(model_dir, "model_final"),
                         {"params": params, "bn_state": bn_state,
                          "opt_state": opt_state, "epoch": np.int64(epoch)},
+                        sharded=sharded_ckpt,
                     )
                     old_val_precision = -1.0
             report_results(
@@ -280,10 +304,11 @@ def run_pipeline(
             )
 
         if cfg.save_model and epoch % max(1, int(cfg.epochs * cfg.save_every)) == 0:
-            save_checkpoint(
-                os.path.join(model_dir, f"model_{epoch:03d}.npz"),
+            save_state(
+                os.path.join(model_dir, f"model_{epoch:03d}"),
                 {"params": params, "bn_state": bn_state,
                  "opt_state": opt_state, "epoch": np.int64(epoch)},
+                sharded=sharded_ckpt,
             )
 
     test_recall, test_precision = test_with_sampler(

@@ -43,6 +43,13 @@ from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, build_mesh, row_sharding
 from .reporting import Stats
 
 
+# jitted K-hop forward for eval/export paths (eager dispatch over the
+# remote-device relay costs minutes at H&M scale)
+_forward_jit = partial(jax.jit, static_argnames=("num_iterations",))(
+    lightgcn_forward
+)
+
+
 def _user_row_ptr(g: BipartiteGraph) -> jnp.ndarray:
     """CSR row pointers over the user-major edge ordering."""
     return jnp.concatenate(
@@ -92,9 +99,29 @@ def select_propagation(cfg: LightGCNConfig, graph: BipartiteGraph, mesh=None):
     if mode == "blocked":
         from ..ops.spmm_blocked import BlockedGraph
 
-        return BlockedGraph.from_graph(graph)
+        return _maybe_bf16(BlockedGraph.from_graph(graph), graph)
     assert mode == "auto", f"unknown propagation mode {mode!r}"
-    return maybe_dense(cfg, graph)
+    op = maybe_dense(cfg, graph)
+    from ..ops.spmm_blocked import BlockedGraph
+
+    if isinstance(op, BlockedGraph):
+        op = _maybe_bf16(op, graph)
+    return op
+
+
+# Node-table size above which the blocked SpMM gathers in bf16: the gather
+# rate collapses on large tables (v5e: 39M rows/s f32 vs 75M rows/s bf16 on
+# the 1.37M-row H&M user table; no effect below cache scale) — see
+# ``ops/spmm_blocked.blocked_segment_sum``.
+BF16_GATHER_ROWS = 1 << 19
+
+
+def _maybe_bf16(op, graph: BipartiteGraph):
+    import dataclasses as _dc
+
+    if max(graph.num_users, graph.num_items) >= BF16_GATHER_ROWS:
+        op = _dc.replace(op, gather_bf16=True)
+    return op
 
 
 def make_train_step(
@@ -165,6 +192,26 @@ def make_train_step(
     return step, tx
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_items", "num_iterations", "max_degree", "lambda_val", "variant",
+    ),
+)
+def _eval_loss_jit(
+    params, prop_graph, eu, ei, row_ptr, graph_edge_item, num_items, key,
+    num_iterations, max_degree, lambda_val, variant,
+):
+    neg = structured_negative_sampling(
+        key, eu, row_ptr, graph_edge_item, num_items, max_degree
+    )
+    uf, u0, itf, it0 = lightgcn_forward(params, prop_graph, num_iterations)
+    return bpr_loss(
+        uf[eu], u0[eu], itf[ei], it0[ei], itf[neg], it0[neg],
+        lambda_val, variant,
+    )
+
+
 def eval_loss(
     cfg: LightGCNConfig,
     params: LightGCNParams,
@@ -175,20 +222,22 @@ def eval_loss(
     prop_graph=None,
 ) -> jnp.ndarray:
     """BPR loss over every edge of the eval split with one sampled negative
-    each — reference ``run_pipeline_lightgcn.py:36-67``."""
-    eu = jnp.asarray(eval_set.edge_user)
-    ei = jnp.asarray(eval_set.edge_item)
-    row_ptr = _user_row_ptr(eval_graph)
-    neg = structured_negative_sampling(
-        key, eu, row_ptr, eval_graph.edge_item, eval_graph.num_items, max_degree
-    )
-    uf, u0, itf, it0 = lightgcn_forward(
-        params, prop_graph if prop_graph is not None else eval_graph,
-        cfg.num_iterations,
-    )
-    return bpr_loss(
-        uf[eu], u0[eu], itf[ei], it0[ei], itf[neg], it0[neg],
-        cfg.Lambda, cfg.bpr_variant,
+    each — reference ``run_pipeline_lightgcn.py:36-67``. One fused jit (the
+    graph rides as an argument): an eager op-by-op pass costs minutes over
+    the remote-device relay at H&M scale."""
+    return _eval_loss_jit(
+        params,
+        prop_graph if prop_graph is not None else eval_graph,
+        jnp.asarray(eval_set.edge_user),
+        jnp.asarray(eval_set.edge_item),
+        _user_row_ptr(eval_graph),
+        eval_graph.edge_item,
+        num_items=eval_graph.num_items,
+        key=key,
+        num_iterations=cfg.num_iterations,
+        max_degree=max_degree,
+        lambda_val=cfg.Lambda,
+        variant=cfg.bpr_variant,
     )
 
 
@@ -280,7 +329,9 @@ def get_metrics(
     """
     if eval_embeddings == "final":
         assert graph_for_final is not None
-        uf, _, itf, _ = lightgcn_forward(params, graph_for_final, cfg.num_iterations)
+        uf, _, itf, _ = _forward_jit(
+            params, graph_for_final, num_iterations=cfg.num_iterations
+        )
         user_emb, item_emb = uf, itf
     else:
         user_emb, item_emb = params.user_emb, params.item_emb

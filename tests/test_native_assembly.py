@@ -143,3 +143,102 @@ class TestNativeAssembly:
         assert lm[3:].sum() == 0
         assert (np.asarray(b.gt_count)[3:] == 0).all()
         assert lm[:3].sum() > 0
+
+
+class TestNativeEvalAssembly:
+    """Native eval batch (matcher candidates XOR positives in C++) vs the
+    Python eval path — deterministic pieces must match exactly."""
+
+    def _setup(self, seed=0, num_users=40, num_items=30):
+        from laplace_gnn_recommendation_tpu.configs import Config
+        from laplace_gnn_recommendation_tpu.data.graph import HostCSR
+        from laplace_gnn_recommendation_tpu.data.matchers import (
+            UsersWithCommonItemsMatcher,
+        )
+        from laplace_gnn_recommendation_tpu.data.sampler import SubgraphSampler
+        from laplace_gnn_recommendation_tpu.data.synthetic import (
+            random_bipartite_edges,
+        )
+
+        eu, ei = random_bipartite_edges(
+            seed=seed, num_users=num_users, num_items=num_items, avg_degree=5
+        )
+        ucsr = HostCSR.from_edges(eu, ei, num_users, num_items)
+        icsr = HostCSR.from_edges(ei, eu, num_items, num_users)
+        cfg = Config(
+            batch_size=8, num_neighbors=100, n_hop_neighbors=2, k=4,
+            candidate_pool_size=6,
+        )
+        matcher = UsersWithCommonItemsMatcher(6, ucsr, icsr)
+        mk = lambda native: SubgraphSampler(  # noqa: E731
+            cfg, ucsr, icsr, train=False, matchers=[matcher],
+            randomization=True, seed=3, use_native=native,
+        )
+        return mk, ucsr
+
+    def test_eval_negatives_and_gt_match_python(self):
+        import numpy as np
+
+        from laplace_gnn_recommendation_tpu import native
+
+        if native.LIB is None:
+            import pytest
+
+            pytest.skip("no native lib")
+        mk, ucsr = self._setup()
+        seeds = np.arange(8)
+        b_nat = mk(True).sample_batch(seeds)
+        b_py = mk(False).sample_batch(seeds)
+
+        def neg_items(b, row):
+            m = np.asarray(b.label_mask)[row]
+            lab = np.asarray(b.label)[row]
+            items = np.asarray(b.label_item_global)[row]
+            return sorted(items[m & (lab == 0)].tolist())
+
+        for row in range(8):
+            # negatives = candidates XOR positives: fully deterministic
+            assert neg_items(b_nat, row) == neg_items(b_py, row), row
+            # sampled positives are random draws but must BE positives
+            m = np.asarray(b_nat.label_mask)[row]
+            lab = np.asarray(b_nat.label)[row]
+            pos = np.asarray(b_nat.label_item_global)[row][m & (lab == 1)]
+            true_pos = set(ucsr.neighbors(int(seeds[row])).tolist())
+            assert set(pos.tolist()) <= true_pos
+        np.testing.assert_array_equal(
+            np.asarray(b_nat.gt_items), np.asarray(b_py.gt_items)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(b_nat.gt_count), np.asarray(b_py.gt_count)
+        )
+        # saturating fanout → identical subgraph edge sets (global pairs)
+        def pairs(b):
+            m = np.asarray(b.edge_mask)
+            u = np.asarray(b.user_ids)[np.asarray(b.edge_src)[m]]
+            i = np.asarray(b.item_ids)[np.asarray(b.edge_dst)[m]]
+            return sorted(zip(u.tolist(), i.tolist()))
+
+        assert pairs(b_nat) == pairs(b_py)
+
+    def test_common_items_batch_matches_scalar(self):
+        import numpy as np
+
+        from laplace_gnn_recommendation_tpu import native
+
+        if native.LIB is None:
+            import pytest
+
+            pytest.skip("no native lib")
+        mk, ucsr = self._setup(seed=5)
+        from laplace_gnn_recommendation_tpu.data.matchers import (
+            UsersWithCommonItemsMatcher,
+        )
+        from laplace_gnn_recommendation_tpu.data.graph import HostCSR
+
+        m = mk(True).matchers[0]
+        users = np.arange(10)
+        batch = m.get_matches_batch(users)
+        for row, u in enumerate(users):
+            single = np.asarray(m.get_matches(int(u)), np.int64)
+            got = batch[row][batch[row] >= 0]
+            np.testing.assert_array_equal(got, single)

@@ -225,3 +225,44 @@ class TestEncDecSharded:
         assert np.isfinite(float(loss))
         after = np.asarray(params2["embeddings"]["customer"][0])
         assert not np.array_equal(before, after)  # tables actually train
+
+
+class TestShardedCheckpoint:
+    def test_orbax_checkpoint_and_resume_through_pipeline(self, mesh8, tmp_path):
+        """Sharded runs checkpoint via orbax directories and resume through
+        the public run_pipeline(resume=True) path."""
+        import os
+
+        from laplace_gnn_recommendation_tpu.data.link_pred_data import (
+            create_link_pred_data,
+        )
+        from laplace_gnn_recommendation_tpu.train.encdec_pipeline import (
+            run_pipeline,
+        )
+        from laplace_gnn_recommendation_tpu.train.checkpoint import (
+            orbax_available,
+        )
+
+        if not orbax_available():
+            pytest.skip("orbax not installed")
+        g = random_hetero_graph(seed=6, num_users=24, num_items=20, avg_degree=4)
+        cfg = Config(
+            epochs=2, batch_size=8, num_neighbors=6, n_hop_neighbors=2,
+            hidden_layer_size=8, encoder_layer_output_size=8, k=4,
+            candidate_pool_size=4, save_model=True, save_every=0.5,
+            eval_every=1,
+        )
+        data = create_link_pred_data(g, cfg)
+        quiet = lambda *a: None  # noqa: E731
+        mdir = str(tmp_path / "ckpt")
+        run_pipeline(cfg, data, model_dir=mdir, log_fn=quiet,
+                     randomization=False, mesh=mesh8)
+        names = os.listdir(mdir)
+        assert any(n.endswith(".orbax") for n in names), names
+        # resume picks up the orbax checkpoint and continues
+        cfg2 = Config(**{**cfg.__dict__, "epochs": 3})
+        stats = run_pipeline(
+            cfg2, data, model_dir=mdir, log_fn=quiet,
+            randomization=False, mesh=mesh8, resume=True,
+        )
+        assert np.isfinite(stats.loss)

@@ -85,3 +85,56 @@ class TestBlockedSegmentSum:
         # budget 0 → blocked layout (not raw BipartiteGraph)
         cfg = LightGCNConfig(dense_bytes_budget=0)
         assert isinstance(maybe_dense(cfg, g), BlockedGraph)
+
+
+class TestGatherBF16:
+    def test_bf16_gather_close_to_f32(self):
+        import dataclasses
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from laplace_gnn_recommendation_tpu.data.graph import BipartiteGraph
+        from laplace_gnn_recommendation_tpu.data.synthetic import (
+            random_bipartite_edges,
+        )
+        from laplace_gnn_recommendation_tpu.ops.spmm import propagate_bipartite
+        from laplace_gnn_recommendation_tpu.ops.spmm_blocked import (
+            BlockedGraph,
+            propagate_blocked,
+        )
+
+        eu, ei = random_bipartite_edges(
+            seed=2, num_users=300, num_items=200, avg_degree=8
+        )
+        g = BipartiteGraph.from_edges(eu, ei, 300, 200)
+        bg16 = dataclasses.replace(BlockedGraph.from_graph(g), gather_bf16=True)
+        rng = np.random.default_rng(0)
+        xu = jnp.asarray(rng.normal(size=(300, 16)).astype(np.float32))
+        xi = jnp.asarray(rng.normal(size=(200, 16)).astype(np.float32))
+        ru, ri = propagate_bipartite(g, xu, xi)
+        bu, bi = propagate_blocked(bg16, xu, xi)
+        np.testing.assert_allclose(np.asarray(bu), np.asarray(ru), rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(bi), np.asarray(ri), rtol=2e-2, atol=2e-2)
+
+    def test_select_propagation_sets_flag_for_big_graphs(self):
+        from laplace_gnn_recommendation_tpu.configs import LightGCNConfig
+        from laplace_gnn_recommendation_tpu.data.graph import BipartiteGraph
+        from laplace_gnn_recommendation_tpu.data.synthetic import (
+            random_bipartite_edges,
+        )
+        from laplace_gnn_recommendation_tpu.ops.spmm_blocked import BlockedGraph
+        from laplace_gnn_recommendation_tpu.train.lightgcn_pipeline import (
+            select_propagation,
+        )
+
+        eu, ei = random_bipartite_edges(
+            seed=0, num_users=1000, num_items=100, avg_degree=3
+        )
+        # node-count METADATA drives the flag; edges stay tiny
+        g = BipartiteGraph.from_edges(eu, ei, 1 << 19, 100)
+        cfg = LightGCNConfig(propagation="blocked")
+        op = select_propagation(cfg, g)
+        assert isinstance(op, BlockedGraph) and op.gather_bf16
+        g2 = BipartiteGraph.from_edges(eu, ei, 1000, 100)
+        assert not select_propagation(cfg, g2).gather_bf16
