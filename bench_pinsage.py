@@ -1,0 +1,88 @@
+"""PinSAGE sampling benchmark: random-walk throughput + block assembly.
+
+Prints one JSON line: sampled walks/sec through the native
+random-walk-importance frontier kernel (``native/sampler.cpp:
+pinsage_frontier`` — the ``dgl.sampling.PinSAGESampler`` replacement) on an
+H&M-shaped train graph. ``vs_baseline`` is against the pure-Python frontier
+(the same algorithm the reference's DGL C kernel replaces, run per-walk in
+Python — the honest stand-in available without DGL in this image).
+
+A walk = one seed's ``walk_length`` item→user→item traversal; the sampler
+runs ``num_random_walks`` of them per seed per layer.
+"""
+import json
+import time
+
+import numpy as np
+
+from laplace_gnn_recommendation_tpu.data.graph import HostCSR
+from laplace_gnn_recommendation_tpu.data.pinsage_data import (
+    PinSAGEData,
+    PinSAGESampler,
+)
+from laplace_gnn_recommendation_tpu.data.synthetic import random_bipartite_edges
+
+NUM_USERS, NUM_ITEMS, AVG_DEG = 100_000, 20_000, 20
+WALK_LEN, NUM_WALKS, NUM_NEIGHBORS = 2, 10, 3
+
+
+def build():
+    eu, ei = random_bipartite_edges(
+        seed=0, num_users=NUM_USERS, num_items=NUM_ITEMS, avg_degree=AVG_DEG,
+        popularity_alpha=0.8,
+    )
+    return PinSAGEData(
+        num_users=NUM_USERS, num_items=NUM_ITEMS,
+        user_csr=HostCSR.from_edges(eu, ei, NUM_USERS, NUM_ITEMS),
+        item_csr=HostCSR.from_edges(ei, eu, NUM_ITEMS, NUM_USERS),
+        item_features=np.zeros((NUM_ITEMS, 1), np.int32),
+        item_features_float=None,
+        latest_item_per_user=np.zeros(NUM_USERS, np.int32),
+        val_items=[], test_items=[],
+    )
+
+
+def run(data, native: bool, n_batches: int, batch: int = 512) -> float:
+    s = PinSAGESampler(
+        data, random_walk_length=WALK_LEN, num_random_walks=NUM_WALKS,
+        num_neighbors=NUM_NEIGHBORS, batch_size=batch, seed=1,
+        use_native=native,
+    )
+    rng = np.random.default_rng(0)
+    seeds = rng.integers(0, NUM_ITEMS, batch)
+    s.neighbor_frontier(seeds)  # warmup
+    walks = 0
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        s.neighbor_frontier(rng.integers(0, NUM_ITEMS, batch))
+        walks += batch * NUM_WALKS
+    return walks / (time.perf_counter() - t0)
+
+
+def main():
+    data = build()
+    fast = run(data, native=True, n_batches=40)
+    slow = run(data, native=False, n_batches=2)
+    # block-assembly rate through the full sample_train_batch path
+    s = PinSAGESampler(data, batch_size=512, num_neighbors=NUM_NEIGHBORS, seed=2)
+    s.sample_train_batch()
+    t0 = time.perf_counter()
+    n_asm = 20
+    for _ in range(n_asm):
+        s.sample_train_batch()
+    batches_per_s = n_asm / (time.perf_counter() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "pinsage_walks_per_sec",
+                "value": round(fast, 1),
+                "unit": "walks/s",
+                "vs_baseline": round(fast / slow, 2),
+                "train_batches_per_sec_b512": round(batches_per_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -84,9 +84,65 @@ def main():
                 "vs_baseline": round(eff / 0.8, 3),  # target ≥0.8 (real chips)
                 "examples_per_sec": {str(k): round(v, 1) for k, v in throughput.items()},
                 "virtual_cpu_mesh": on_cpu,
+                "projection": project_sharded_efficiency(),
             }
         )
     )
+
+
+# v5e per-chip one-way ICI bandwidth (public: 1,600 Gbps aggregate
+# bidirectional per chip on the 2-D torus → ~100 GB/s usable one-way for a
+# ring all-gather; DCN only enters past a pod slice, which 2 hosts of v5e
+# never cross).
+ICI_BYTES_PER_S = 100e9
+
+# measured single-chip blocked-SpMM train-step time at H&M scale (28M train
+# edges, D=32, K=4; see BENCH_HM.json) — the compute term of the projection
+HM_STEP_1CHIP_S = 7.6
+HM_USERS, HM_ITEMS, HM_DIM, HM_K = 1_371_980, 104_547, 32, 4
+
+
+def project_sharded_efficiency():
+    """Communication-volume scaling model for the sharded LightGCN step
+    (the BASELINE.md ≥80%-to-2-hosts deliverable, projected — real
+    multi-chip hardware is not attachable here; the op-level harness above
+    and the public train() path are what the projection parameterizes).
+
+    Per chip per step on a p-way model axis:
+    * compute: the per-chip edge partition is 1/p of the edges, and the
+      blocked SpMM is per-edge-gather-bound → t_compute = t_1chip / p.
+    * communication: each of the K iterations all-gathers both source
+      tables (each chip receives the other shards' rows: (p-1)/p ·
+      (U+I)·D·4 bytes) and the backward reverses it as a reduce-scatter of
+      equal volume (the VJP of all-gather).
+    Efficiency bounds: no-overlap (serial comm) and full-overlap (XLA hides
+    collectives under the gather-bound compute — the realistic case, since
+    ICI transfers and HBM gathers use different resources).
+    """
+    table_bytes = (HM_USERS + HM_ITEMS) * HM_DIM * 4
+    out = {}
+    for p in (2, 4, 8, 16):
+        t_comp = HM_STEP_1CHIP_S / p
+        recv = (p - 1) / p * table_bytes
+        t_comm = HM_K * 2 * recv / ICI_BYTES_PER_S  # fwd AG + bwd RS
+        eff_no_overlap = t_comp / (t_comp + t_comm)
+        eff_overlap = t_comp / max(t_comp, t_comm)
+        out[str(p)] = {
+            "t_compute_s": round(t_comp, 4),
+            "t_comm_s": round(t_comm, 4),
+            "efficiency_no_overlap": round(eff_no_overlap, 4),
+            "efficiency_full_overlap": round(min(eff_overlap, 1.0), 4),
+        }
+    out["assumptions"] = {
+        "ici_bytes_per_s_oneway": ICI_BYTES_PER_S,
+        "hm_step_1chip_s": HM_STEP_1CHIP_S,
+        "note": (
+            "gather-bound compute scales 1/p; comm = K fwd all-gathers + "
+            "K bwd reduce-scatters of both tables; ≥80% target met with "
+            "wide margin at p≤16 even with zero overlap"
+        ),
+    }
+    return out
 
 
 if __name__ == "__main__":

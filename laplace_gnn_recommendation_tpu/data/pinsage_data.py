@@ -154,6 +154,11 @@ class PinSAGESampler:
         self.num_layers = num_layers
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
+        # persistent id→slot array (stamp-free: each batch/layer only looks
+        # up ids it has just written, so stale entries are never read —
+        # replaces the per-batch {id: slot} dicts, which were the assembly
+        # hot spot at production batch sizes)
+        self._slot = np.zeros(data.num_items, np.int32)
         # static slot budgets per layer (innermost → outermost)
         self.dst_budget = []
         self.src_budget = []
@@ -256,21 +261,33 @@ class PinSAGESampler:
         cur_ids[: len(seeds)] = seeds
         cur_mask = np.arange(d_b0) < len(seeds)
 
+        # key-encoded forbidden pairs for a vectorized isin filter
+        ni = self.d.num_items
+        fkeys = (
+            np.fromiter(
+                (int(s) * ni + int(d) for s, d in forbidden_pairs),
+                np.int64,
+                count=len(forbidden_pairs),
+            )
+            if forbidden_pairs
+            else None
+        )
+
         for layer in range(self.num_layers):
             valid = cur_ids[cur_mask]
             fs, fd, fw = self.neighbor_frontier(valid)
-            if forbidden_pairs and len(fs):
-                keep = np.array(
-                    [(s, d) not in forbidden_pairs for s, d in zip(fs, fd)], bool
-                )
+            if fkeys is not None and len(fs):
+                keep = ~np.isin(fs * ni + fd, fkeys)
                 fs, fd, fw = fs[keep], fd[keep], fw[keep]
             extra = np.setdiff1d(np.unique(fs), valid)
             s_b, d_b = self.src_budget[layer], self.dst_budget[layer]
             assert d_b == len(cur_ids) and d_b + len(extra) <= s_b
 
-            slot = {int(x): i for i, x in enumerate(cur_ids) if cur_mask[i]}
-            for j, x in enumerate(extra):
-                slot[int(x)] = d_b + j
+            # vectorized slot map: write this layer's ids, look up only them
+            self._slot[cur_ids[cur_mask]] = np.flatnonzero(cur_mask).astype(
+                np.int32
+            )
+            self._slot[extra] = (d_b + np.arange(len(extra))).astype(np.int32)
 
             src_ids = np.zeros(s_b, np.int64)
             src_ids[:d_b] = cur_ids
@@ -284,8 +301,8 @@ class PinSAGESampler:
             edge_src = np.zeros(e_b, np.int32)
             edge_dst = np.zeros(e_b, np.int32)
             edge_w = np.zeros(e_b, np.float32)
-            edge_src[:e] = [slot[int(x)] for x in fs]
-            edge_dst[:e] = [slot[int(x)] for x in fd]
+            edge_src[:e] = self._slot[fs]
+            edge_dst[:e] = self._slot[fd]
             edge_w[:e] = fw
             # numpy leaves: upload happens at the jit boundary (eager
             # device puts serialize the sampling thread on remote tunnels)
@@ -318,19 +335,20 @@ class PinSAGESampler:
             + [(int(h), int(t)) for h, t in zip(heads, neg_tails)]
         )
         blocks, _ = self.sample_blocks(seeds, forbidden_pairs=forbidden)
-        slot = {int(x): i for i, x in enumerate(seeds)}
+        # stamped slot array again (seeds were the innermost dst layout)
+        self._slot[seeds] = np.arange(len(seeds), dtype=np.int32)
         p = self.batch_size
+        n = len(heads)
         pos_head = np.zeros(p, np.int32)
         pos_tail = np.zeros(p, np.int32)
         neg_head = np.zeros(p, np.int32)
         neg_tail = np.zeros(p, np.int32)
         mask = np.zeros(p, bool)
-        for i, (h, t_, nt) in enumerate(zip(heads, tails, neg_tails)):
-            pos_head[i] = slot[int(h)]
-            pos_tail[i] = slot[int(t_)]
-            neg_head[i] = slot[int(h)]
-            neg_tail[i] = slot[int(nt)]
-            mask[i] = True
+        pos_head[:n] = self._slot[heads]
+        pos_tail[:n] = self._slot[tails]
+        neg_head[:n] = self._slot[heads]
+        neg_tail[:n] = self._slot[neg_tails]
+        mask[:n] = True
         return PinSAGEBatch(
             blocks=blocks,
             pos_head=pos_head,

@@ -79,13 +79,29 @@ def hits_at_k(
     k: int,
     split: str = "val",
     batch_size: int = 512,
+    mesh=None,
 ) -> float:
     """LatestNNRecommender + HITS@k (reference ``pinsage/evaluation.py:8-73``):
     for each user, rank items by similarity to their latest train item,
     excluding already-interacted items; hit if any top-k item is in the
-    split's ground truth."""
+    split's ground truth.
+
+    With a model-sharded ``mesh`` the catalog sweep runs the distributed
+    MIPS path (row-sharded item embeddings, per-shard top-k + all-gather
+    merge) — the same production retrieval as ``RetrievalServer``."""
     gt = data.val_items if split == "val" else data.test_items
     h = jnp.asarray(h_item)
+    sharded_h = None
+    num_valid = h_item.shape[0]
+    if mesh is not None:
+        from ..parallel.mesh import MODEL_AXIS, row_sharding, shard_rows_pad
+
+        if mesh.shape[MODEL_AXIS] > 1:
+            i_pad = shard_rows_pad(num_valid, mesh)
+            sharded_h = jax.device_put(
+                jnp.pad(h, ((0, i_pad - num_valid), (0, 0))),
+                row_sharding(mesh),
+            )
     hits = []
     # only users the recommender can serve: ground truth present AND a
     # latest train interaction to query with
@@ -104,10 +120,19 @@ def hits_at_k(
             items = data.user_csr.neighbors(u)
             excl[row, : len(items)] = items
             cnt[row] = len(items)
-        scores = jnp.asarray(h)[jnp.asarray(latest)] @ h.T
-        _, topk = masked_topk(
-            scores, k, jnp.asarray(excl.astype(np.int32)), jnp.asarray(cnt)
-        )
+        if sharded_h is not None:
+            from ..ops.topk import sharded_mips_topk
+
+            _, topk = sharded_mips_topk(
+                mesh, h[jnp.asarray(latest)], sharded_h, k,
+                jnp.asarray(excl.astype(np.int32)), jnp.asarray(cnt),
+                num_valid_items=num_valid,
+            )
+        else:
+            scores = jnp.asarray(h)[jnp.asarray(latest)] @ h.T
+            _, topk = masked_topk(
+                scores, k, jnp.asarray(excl.astype(np.int32)), jnp.asarray(cnt)
+            )
         topk = np.asarray(topk)
         for row, u in enumerate(chunk):
             hits.append(bool(np.isin(topk[row], gt[u]).any()))
@@ -118,9 +143,14 @@ def train(
     cfg: PinSAGEConfig,
     data: PinSAGEData,
     log_fn=print,
+    mesh=None,
 ) -> dict:
     """Training loop (reference ``pinsage/model.py:105-134``). Returns a dict
-    with final params, item embeddings and HITS@k per split."""
+    with final params, item embeddings and HITS@k per split.
+
+    With a multi-device ``mesh``: the (head, tail, neg) pair batch splits
+    over the ``data`` axis (DP) and the HITS@k catalog sweeps run the
+    distributed MIPS path over the ``model`` axis."""
     sampler = PinSAGESampler(
         data,
         random_walk_length=cfg.random_walk_length,
@@ -205,8 +235,31 @@ def train(
         tx = optax.adam(cfg.lr)
         opt_state = tx.init(params)
 
+        pair_constraint = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            if mesh.shape[DATA_AXIS] > 1:
+                pair_constraint = NamedSharding(mesh, P(DATA_AXIS))
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(params, opt_state, batch, k):
+            if pair_constraint is not None:
+                batch = dataclasses.replace(
+                    batch,
+                    **{
+                        f: jax.lax.with_sharding_constraint(
+                            getattr(batch, f), pair_constraint
+                        )
+                        for f in (
+                            "pos_head", "pos_tail", "neg_head", "neg_tail",
+                            "pair_mask",
+                        )
+                    },
+                )
+
             def loss_fn(p):
                 return M.margin_loss(
                     p, batch, item_features, item_features_float, train=True, rng=k
@@ -229,7 +282,7 @@ def train(
         h_item = embed_all_items(
             cfg, params, data, sampler, item_features, item_features_float
         )
-        val_hits = hits_at_k(data, h_item, cfg.k, "val")
+        val_hits = hits_at_k(data, h_item, cfg.k, "val", mesh=mesh)
         log_fn(
             f"[epoch {epoch}] loss: {float(loss):.5f} HITS@{cfg.k} (val): {val_hits:.5f}"
         )
@@ -237,7 +290,7 @@ def train(
     h_item = embed_all_items(
         cfg, params, data, sampler, item_features, item_features_float
     )
-    test_hits = hits_at_k(data, h_item, cfg.k, "test")
+    test_hits = hits_at_k(data, h_item, cfg.k, "test", mesh=mesh)
     log_fn(f"HITS@{cfg.k} (test): {test_hits:.5f}")
     return {
         "params": params,

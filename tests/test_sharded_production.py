@@ -266,3 +266,42 @@ class TestShardedCheckpoint:
             randomization=False, mesh=mesh8, resume=True,
         )
         assert np.isfinite(stats.loss)
+
+
+class TestPinSAGESharded:
+    def test_pinsage_train_mesh_parity(self, mesh8):
+        """PinSAGE train() on the mesh (DP pairs + distributed HITS@k
+        retrieval) matches the 1-device run."""
+        from laplace_gnn_recommendation_tpu.data.pinsage_data import (
+            PinSAGEData,
+        )
+        from laplace_gnn_recommendation_tpu.data.graph import HostCSR
+        from laplace_gnn_recommendation_tpu.train import pinsage_pipeline as P
+
+        rng = np.random.default_rng(0)
+        nu, ni = 40, 56
+        eu, ei = random_bipartite_edges(seed=9, num_users=nu, num_items=ni,
+                                        avg_degree=5)
+        latest = np.full(nu, -1, np.int32)
+        for u, i in zip(eu, ei):
+            latest[u] = i
+        val = [np.array([int(ei[j]) for j in np.flatnonzero(eu == u)[:1]])
+               for u in range(nu)]
+        data = PinSAGEData(
+            num_users=nu, num_items=ni,
+            user_csr=HostCSR.from_edges(eu, ei, nu, ni),
+            item_csr=HostCSR.from_edges(ei, eu, ni, nu),
+            item_features=rng.integers(0, 5, (ni, 2)).astype(np.int32),
+            item_features_float=None,
+            latest_item_per_user=latest,
+            val_items=val, test_items=val,
+        )
+        cfg = P.PinSAGEConfig(
+            num_epochs=1, batches_per_epoch=4, batch_size=8, hidden_dims=8,
+            num_neighbors=2, k=4, seed=5,
+        )
+        quiet = lambda *a: None  # noqa: E731
+        r1 = P.train(cfg, data, log_fn=quiet)
+        r2 = P.train(cfg, data, log_fn=quiet, mesh=mesh8)
+        assert r1["loss"] == pytest.approx(r2["loss"], rel=1e-4)
+        assert r1["test_hits"] == pytest.approx(r2["test_hits"], abs=1e-9)
