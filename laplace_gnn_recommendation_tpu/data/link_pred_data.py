@@ -195,11 +195,19 @@ def create_link_pred_data_from_artifacts(
 
 
 def create_samplers(
-    cfg: Config, data: LinkPredData, seed: int = 0, randomization: bool = True
+    cfg: Config, data: LinkPredData, seed: int = 0, randomization: bool = True,
+    graph_store=None,
 ) -> Tuple[SubgraphSampler, SubgraphSampler, SubgraphSampler]:
     """(train, val, test) samplers — the ``create_dataloaders`` equivalent
     (``data/data_loader.py:14-65``). All three share one budget set so every
-    batch in the run has identical shapes (one XLA compilation)."""
+    batch in the run has identical shapes (one XLA compilation).
+
+    ``graph_store`` switches the neighborhood source to a DB backend — the
+    reference's ``config.neo4j`` selector (``data/data_loader.py:17``): any
+    ``Database``-compatible object (``graph_store.Database`` against a real
+    server, or ``store_sampler.InMemoryGraphStore``). Positives still come
+    from the split CSRs, exactly like the reference reads its adjacency
+    artifacts next to the DB."""
     max_deg = max(
         int(adj.user_csr.degrees.max(initial=1)) for adj in data.splits.values()
     )
@@ -207,18 +215,24 @@ def create_samplers(
         cfg, max_deg, max(len(m) for m in data.matchers.values()),
         num_users=data.num_users, num_items=data.num_items,
     )
-    train_s = SubgraphSampler(
-        cfg, data.splits["train"].user_csr, data.splits["train"].item_csr,
-        train=True, randomization=randomization, seed=seed, budgets=budgets,
+
+    def make(split: str, train: bool, matchers, seed_off: int):
+        adj = data.splits[split]
+        common = dict(
+            train=train, matchers=matchers, randomization=randomization,
+            seed=seed + seed_off, budgets=budgets,
+        )
+        if graph_store is not None:
+            from .store_sampler import GraphStoreSampler
+
+            return GraphStoreSampler(
+                cfg, graph_store, adj.user_csr, adj.item_csr,
+                split_type=split, **common,
+            )
+        return SubgraphSampler(cfg, adj.user_csr, adj.item_csr, **common)
+
+    return (
+        make("train", True, None, 0),
+        make("val", False, data.matchers["val"], 1),
+        make("test", False, data.matchers["test"], 2),
     )
-    val_s = SubgraphSampler(
-        cfg, data.splits["val"].user_csr, data.splits["val"].item_csr,
-        train=False, matchers=data.matchers["val"],
-        randomization=randomization, seed=seed + 1, budgets=budgets,
-    )
-    test_s = SubgraphSampler(
-        cfg, data.splits["test"].user_csr, data.splits["test"].item_csr,
-        train=False, matchers=data.matchers["test"],
-        randomization=randomization, seed=seed + 2, budgets=budgets,
-    )
-    return train_s, val_s, test_s

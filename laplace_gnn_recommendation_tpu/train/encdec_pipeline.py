@@ -164,15 +164,21 @@ def run_pipeline(
     return_state: bool = False,
     resume: bool = False,
     mesh=None,
+    graph_store=None,
 ):
-    """Full training run — reference ``run_pipeline.py:24-153``."""
+    """Full training run — reference ``run_pipeline.py:24-153``.
+
+    ``graph_store`` selects the DB-backed sampler (the reference's
+    ``config.neo4j`` switch) — see ``data/link_pred_data.create_samplers``.
+    """
     cfg.print()
     cfg.check_validity()
     wandb, cfg = setup_config("Fashion-Recomm-GNN", cfg.wandb_enabled, cfg)
 
     key = jax.random.PRNGKey(cfg.seed)
     train_s, val_s, test_s = create_samplers(
-        cfg, data, seed=cfg.seed, randomization=randomization
+        cfg, data, seed=cfg.seed, randomization=randomization,
+        graph_store=graph_store,
     )
 
     feature_info = sage.get_feature_info(data.graph)

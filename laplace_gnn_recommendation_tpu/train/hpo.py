@@ -34,6 +34,57 @@ SEARCH_SPACE: Dict[str, list] = {
 }
 
 
+def load_sweep_yaml(path: str = "sweep.yaml") -> Dict[str, list]:
+    """Load a wandb-sweep-format config artifact into a SEARCH_SPACE dict
+    (the reference drives its sweep from ``sweep.yaml:11-37``; this keeps
+    the artifact the single source of truth for both engines).
+
+    ``values`` lists pass through; ``{min, max, int_uniform}`` ranges expand
+    to the integer grid. Uses a minimal parser (the image has no yaml
+    package) that covers the sweep schema subset.
+    """
+    space: Dict[str, list] = {}
+    cur: Optional[str] = None
+    rng_lo = rng_hi = None
+    in_params = False
+
+    def flush():
+        nonlocal rng_lo, rng_hi
+        if cur is not None and rng_lo is not None and rng_hi is not None:
+            space[cur] = list(range(int(rng_lo), int(rng_hi) + 1))
+        rng_lo = rng_hi = None
+
+    with open(path) as f:
+        for raw in f:
+            line = raw.split("#", 1)[0].rstrip()
+            if not line.strip():
+                continue
+            indent = len(line) - len(line.lstrip())
+            body = line.strip()
+            if body.startswith("parameters:") and indent == 0:
+                in_params = True
+                continue
+            if not in_params:
+                continue
+            if indent == 0:
+                break
+            if indent == 2 and body.endswith(":"):
+                flush()
+                cur = body[:-1]
+            elif body.startswith("values:"):
+                vals = body.split(":", 1)[1].strip().strip("[]")
+                space[cur] = [
+                    float(v) if ("." in v or "e" in v.lower()) else int(v)
+                    for v in vals.split(",")
+                ]
+            elif body.startswith("min:"):
+                rng_lo = float(body.split(":", 1)[1])
+            elif body.startswith("max:"):
+                rng_hi = float(body.split(":", 1)[1])
+    flush()
+    return space
+
+
 def sample_trial(rng: np.random.Generator) -> Dict:
     params = {k: rng.choice(v).item() if isinstance(v[0], (int, float)) else v[rng.integers(len(v))]
               for k, v in SEARCH_SPACE.items()}

@@ -200,3 +200,77 @@ class TestSubmission:
             assert int(cid) in range(1, 6)
             for p in preds.split():
                 assert int(p) in range(1, 7)
+
+
+class TestPandasGraphBuilder:
+    """Reference pinsage/builder.py:16-127 counterpart."""
+
+    def test_build_bipartite_from_frames(self):
+        import pandas as pd
+
+        from laplace_gnn_recommendation_tpu.constants import EDGE_KEY
+        from laplace_gnn_recommendation_tpu.data.pandas_builder import (
+            PandasGraphBuilder,
+        )
+        from laplace_gnn_recommendation_tpu.types import EdgeType
+
+        users = pd.DataFrame(
+            {"user_id": ["XYZZY", "FOO", "BAR"],
+             "country": ["US", "CN", "CN"], "age": [25, 24, 23]}
+        )
+        games = pd.DataFrame(
+            {"game_id": [1, 2], "title": ["Minecraft", "Tetris"],
+             "score": [0.9, 0.7]}
+        )
+        plays = pd.DataFrame(
+            {"user_id": ["XYZZY", "FOO", "FOO", "BAR"],
+             "game_id": [1, 1, 2, 2]}
+        )
+        b = PandasGraphBuilder()
+        b.add_entities(users, "user_id", "customer", feature_cols=["country", "age"])
+        b.add_entities(games, "game_id", "article", feature_cols=["title"],
+                       float_feature_cols=["score"])
+        b.add_binary_relations(plays, "user_id", "game_id", EDGE_KEY.rel)
+        g, id_maps = b.build()
+        assert g.num_nodes == {"customer": 3, "article": 2}
+        et = EdgeType("customer", EDGE_KEY.rel, "article")
+        s, d = g.edges[et]
+        assert len(s) == 4
+        # FOO plays both games
+        foo = id_maps["customer"]["FOO"]
+        np.testing.assert_array_equal(np.sort(d[s == foo]), [0, 1])
+        assert g.node_features["customer"].shape == (3, 2)
+        assert g.node_features_float["article"].shape == (2, 1)
+        # drops straight into the pipelines
+        from laplace_gnn_recommendation_tpu.configs import Config
+        from laplace_gnn_recommendation_tpu.data.link_pred_data import (
+            create_link_pred_data,
+        )
+
+        data = create_link_pred_data(
+            g, Config(batch_size=2, candidate_pool_size=2, k=2)
+        )
+        assert data.num_users == 3
+
+    def test_duplicate_pk_rejected(self):
+        import pandas as pd
+
+        from laplace_gnn_recommendation_tpu.data.pandas_builder import (
+            PandasGraphBuilder,
+        )
+
+        with np.testing.assert_raises(ValueError):
+            PandasGraphBuilder().add_entities(
+                pd.DataFrame({"id": [1, 1]}), "id", "customer"
+            )
+
+
+class TestSweepYaml:
+    def test_load_sweep_yaml_matches_search_space(self):
+        from laplace_gnn_recommendation_tpu.train.hpo import load_sweep_yaml
+
+        space = load_sweep_yaml("sweep.yaml")
+        assert space["hidden_layer_size"] == [32, 64, 128, 256, 512]
+        assert space["num_gnn_layers"] == [1, 2, 3, 4]
+        assert space["negative_edges_ratio"] == [1.0, 2.0, 5.0, 10.0, 20.0]
+        assert space["learning_rate"] == [1e-2, 1e-3, 1e-4, 1e-5]

@@ -196,3 +196,30 @@ class TestStoreSamplerParity:
         assert (np.asarray(batch.edge_src)[m] < len(np.asarray(batch.user_ids))).all()
         lm = np.asarray(batch.label_mask)
         assert (np.asarray(batch.label)[lm] >= 0).all()
+
+
+class TestStoreBackedPipeline:
+    def test_run_pipeline_with_graph_store(self):
+        """The full public run_pipeline trains against the DB backend — the
+        reference's config.neo4j=True flow (run_pipeline → dataset_neo)."""
+        from laplace_gnn_recommendation_tpu.data.link_pred_data import (
+            create_link_pred_data,
+        )
+        from laplace_gnn_recommendation_tpu.train.encdec_pipeline import (
+            run_pipeline,
+        )
+
+        g = random_hetero_graph(seed=8, num_users=20, num_items=18, avg_degree=4)
+        cfg = Config(
+            epochs=2, batch_size=6, num_neighbors=16, n_hop_neighbors=2, k=4,
+            candidate_pool_size=4, eval_every=1,
+            hidden_layer_size=8, encoder_layer_output_size=8,
+        )
+        data = create_link_pred_data(g, cfg)
+        store = _store_from(g)
+        stats = run_pipeline(
+            cfg, data, log_fn=lambda *a: None, randomization=False,
+            graph_store=store,
+        )
+        assert np.isfinite(stats.loss)
+        assert store.queries_served > 0  # neighborhoods really came from it
