@@ -214,6 +214,22 @@ def main():
                 "scored against"
             ),
         },
+        "caveats": {
+            "small_kernels": (
+                "ML-1M-scale kernels finish in single-digit ms; through "
+                "the remote-device relay their wall time is dominated by "
+                "dispatch latency, so their fraction-of-peak UNDERSTATES "
+                "the kernels (e.g. dense_propagate's matmuls are ~7 us of "
+                "MXU work). The load-bearing at-scale numbers are "
+                "BENCH_HM.json and train_step_mfu below."
+            ),
+            "streaming_topk": (
+                "classified memory-bound by arithmetic intensity, but its "
+                "real bottleneck is the VPU top-k fold (measured at "
+                "parity with the f32 XLA path; its value is avoiding the "
+                "[B, I] scores materialization, not bandwidth)"
+            ),
+        },
         "kernels": {
             r.name: {
                 "seconds": r.seconds,
