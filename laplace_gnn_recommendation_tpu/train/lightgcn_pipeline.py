@@ -199,17 +199,26 @@ def make_train_step(
     ),
 )
 def _eval_loss_jit(
-    params, prop_graph, eu, ei, row_ptr, graph_edge_item, num_items, key,
-    num_iterations, max_degree, lambda_val, variant,
+    params, prop_graph, eu, ei, n_valid, row_ptr, graph_edge_item, num_items,
+    key, num_iterations, max_degree, lambda_val, variant,
 ):
     neg = structured_negative_sampling(
         key, eu, row_ptr, graph_edge_item, num_items, max_degree
     )
     uf, u0, itf, it0 = lightgcn_forward(params, prop_graph, num_iterations)
-    return bpr_loss(
-        uf[eu], u0[eu], itf[ei], it0[ei], itf[neg], it0[neg],
-        lambda_val, variant,
+    # masked bpr_loss: eu/ei are padded up to a shape bucket (see eval_loss);
+    # pad rows must contribute to neither the rank mean nor the reg term
+    m = (jnp.arange(eu.shape[0]) < n_valid).astype(jnp.float32)
+    n = jnp.maximum(n_valid.astype(jnp.float32), 1.0)
+    reg = lambda_val * jnp.sum(
+        m[:, None] * (u0[eu] ** 2 + it0[ei] ** 2 + it0[neg] ** 2)
     )
+    diff = jnp.sum(uf[eu] * itf[ei], -1) - jnp.sum(uf[eu] * itf[neg], -1)
+    if variant == "legacy":
+        rank = -jnp.sum(jax.nn.softplus(diff) * m) / n
+    else:
+        rank = -jnp.sum(jax.nn.log_sigmoid(diff) * m) / n
+    return rank + reg
 
 
 def eval_loss(
@@ -224,12 +233,21 @@ def eval_loss(
     """BPR loss over every edge of the eval split with one sampled negative
     each — reference ``run_pipeline_lightgcn.py:36-67``. One fused jit (the
     graph rides as an argument): an eager op-by-op pass costs minutes over
-    the remote-device relay at H&M scale."""
+    the remote-device relay at H&M scale. Edge arrays pad to 4096-multiples
+    (masked out of the loss) so near-equal-sized splits — val and test are
+    always within a rounding edge of each other — share one executable."""
+    e = len(eval_set.edge_user)
+    e_pad = -(-max(e, 1) // 4096) * 4096
+    eu = np.zeros(e_pad, np.int32)
+    ei = np.zeros(e_pad, np.int32)
+    eu[:e] = eval_set.edge_user
+    ei[:e] = eval_set.edge_item
     return _eval_loss_jit(
         params,
         prop_graph if prop_graph is not None else eval_graph,
-        jnp.asarray(eval_set.edge_user),
-        jnp.asarray(eval_set.edge_item),
+        jnp.asarray(eu),
+        jnp.asarray(ei),
+        jnp.int32(e),
         _user_row_ptr(eval_graph),
         eval_graph.edge_item,
         num_items=eval_graph.num_items,
@@ -351,15 +369,28 @@ def get_metrics(
     if cap is not None and len(users) > cap:
         users = users[:cap]
     b = len(users)
+    # bucket the padded gt/exclusion widths (multiples of 32) so the val and
+    # test sweeps share one compiled chunk program — widths are -1-padded,
+    # so extra columns are inert
+    def _wpad(a):
+        w = a.shape[1]
+        return -(-w // 32) * 32 - w
+
+    gt_w, ex_w = _wpad(eval_set.gt_items), _wpad(eval_set.exclude_items)
     rs = hs = ns = cnt = 0.0
     for s in range(0, b, chunk):
         e = min(s + chunk, b)
         c = e - s
         pad = chunk - c
         uu = np.pad(users[s:e], (0, pad))
-        gt = np.pad(eval_set.gt_items[s:e], ((0, pad), (0, 0)), constant_values=-1)
+        gt = np.pad(
+            eval_set.gt_items[s:e], ((0, pad), (0, gt_w)), constant_values=-1
+        )
         gtc = np.pad(eval_set.gt_count[s:e], (0, pad))
-        ex = np.pad(eval_set.exclude_items[s:e], ((0, pad), (0, 0)), constant_values=-1)
+        ex = np.pad(
+            eval_set.exclude_items[s:e], ((0, pad), (0, ex_w)),
+            constant_values=-1,
+        )
         exc = np.pad(eval_set.exclude_count[s:e], (0, pad))
         valid = np.arange(chunk) < c
         r_, h_, n_, m_ = chunk_fn(
@@ -518,8 +549,15 @@ def train(
         )
 
     max_deg_train = int(np.asarray(data.train_graph.user_deg).max(initial=1))
-    max_deg_val = int(np.asarray(data.val_graph.user_deg).max(initial=1))
-    max_deg_test = int(np.asarray(data.test_graph.user_deg).max(initial=1))
+    # one SHARED eval bound: max_degree is a static jit arg of the eval-loss
+    # program, and a per-split value forces a recompile per split (~minutes
+    # each through the remote compiler at H&M scale); the bound only needs
+    # to be ≥ the split's true max, so the max over both is exact for both
+    max_deg_eval = max(
+        int(np.asarray(data.val_graph.user_deg).max(initial=1)),
+        int(np.asarray(data.test_graph.user_deg).max(initial=1)),
+    )
+    max_deg_val = max_deg_test = max_deg_eval
 
     def prop_operand(g: BipartiteGraph):
         if parts > 1 and (u_pad != g.num_users or i_pad != g.num_items):

@@ -94,3 +94,33 @@ class TestQuantizedServer:
         items, _ = srv.recommend([1, 2])
         expect = np.argsort(-(ue[1] @ ie.T))[:4]
         np.testing.assert_array_equal(items[0], expect)
+
+
+class TestQuantizedPaddedCatalog:
+    def test_tail_mask_blocks_pad_rows(self):
+        """Unaligned catalogs pad to the 512 tile with zero rows that must
+        never win a slot — the RetrievalServer internal-padding contract
+        (serving.py quantized path), checked here in interpret mode."""
+        import jax.numpy as jnp
+
+        from laplace_gnn_recommendation_tpu.ops.topk_pallas import (
+            row_quantize,
+            streaming_mips_topk_int8,
+        )
+
+        rng = np.random.default_rng(7)
+        true_i = 300
+        i_pad = 512
+        it = np.zeros((i_pad, 8), np.float32)
+        # all-negative scores: zero pad rows would otherwise score 0 and win
+        it[:true_i] = -np.abs(rng.normal(size=(true_i, 8))) - 0.1
+        u = jnp.asarray(np.abs(rng.normal(size=(4, 8))).astype(np.float32))
+        q, s = row_quantize(jnp.asarray(it))
+        tail = jnp.broadcast_to(
+            (jnp.arange(i_pad) >= true_i).astype(jnp.int8)[None, :],
+            (4, i_pad),
+        )
+        _, idx = streaming_mips_topk_int8(
+            u, q, s, 5, excl_mask=tail, tile=128, interpret=True
+        )
+        assert (np.asarray(idx) < true_i).all()
