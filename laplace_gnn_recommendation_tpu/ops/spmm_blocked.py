@@ -44,6 +44,15 @@ class BlockedSegmentPlan:
     num_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
     edges_per_chunk: int = dataclasses.field(metadata=dict(static=True), default=128)
     rows_per_chunk: int = dataclasses.field(metadata=dict(static=True), default=8)
+    # src-slice partitioning (0 = off): edges are grouped by source-row
+    # slice of width src_slice_rows; src ids are LOCAL to their slice and
+    # the device loop gathers from a dynamic_slice of the table. The XLA
+    # gather engine's rate collapses with table size (v5e, 128B rows:
+    # 200M rows/s ≤131k rows → 40M rows/s at 1M rows); slicing the source
+    # table recovers the fast zone (measured 194M rows/s via 16 slices of
+    # the 1.37M-row H&M user table).
+    src_slice_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_src_slices: int = dataclasses.field(metadata=dict(static=True), default=1)
 
     @staticmethod
     def from_edges(
@@ -133,6 +142,78 @@ class BlockedSegmentPlan:
         )
 
 
+    @staticmethod
+    def from_edges_src_sliced(
+        dst_sorted: np.ndarray,
+        src: np.ndarray,
+        w: np.ndarray,
+        num_rows: int,
+        num_src_rows: int,
+        edges_per_chunk: int = 128,
+        rows_per_chunk: int = 8,
+        chunk_bucket: int = 1024,
+        slice_rows: int = 131072,
+    ) -> "BlockedSegmentPlan":
+        """Partition the edges by SOURCE-row slice so the device gathers
+        from ≤``slice_rows``-row table windows — the fast zone of the XLA
+        gather engine (see the field comment). Within each slice the
+        dst-sorted order is preserved (stable filtering of a sorted list),
+        so the per-slice chunking is the ordinary plan; all slices pad to
+        one chunk count and stack."""
+        s_count = -(-max(num_src_rows, 1) // slice_rows)
+        if s_count <= 1:
+            return BlockedSegmentPlan.from_edges(
+                dst_sorted, src, w, num_rows, edges_per_chunk,
+                rows_per_chunk, chunk_bucket,
+            )
+        src = np.asarray(src)
+        dst_sorted = np.asarray(dst_sorted)
+        w = np.asarray(w)
+        # one stable sort groups edges by slice while preserving the
+        # dst-sorted order inside each slice (S masking passes over the
+        # whole edge list cost ~1 min at H&M scale)
+        slice_of = src // slice_rows
+        order = np.argsort(slice_of, kind="stable")
+        src_o, dst_o, w_o = src[order], dst_sorted[order], w[order]
+        bounds = np.searchsorted(
+            slice_of[order], np.arange(s_count + 1) * 1
+        )
+        plans = []
+        for si in range(s_count):
+            sl = slice(bounds[si], bounds[si + 1])
+            plans.append(
+                BlockedSegmentPlan.from_edges(
+                    dst_o[sl], src_o[sl] - si * slice_rows, w_o[sl], num_rows,
+                    edges_per_chunk, rows_per_chunk, chunk_bucket,
+                )
+            )
+        cmax = max(p.src.shape[0] for p in plans)
+
+        def pad_stack(field, fill):
+            return np.concatenate(
+                [
+                    np.pad(
+                        np.asarray(getattr(p, field)),
+                        ((0, cmax - getattr(p, field).shape[0]), (0, 0)),
+                        constant_values=fill,
+                    )
+                    for p in plans
+                ]
+            )
+
+        return BlockedSegmentPlan(
+            src=jnp.asarray(pad_stack("src", 0)),
+            w=jnp.asarray(pad_stack("w", 0.0)),
+            local_row=jnp.asarray(pad_stack("local_row", 0)),
+            row_ids=jnp.asarray(pad_stack("row_ids", num_rows)),
+            num_rows=num_rows,
+            edges_per_chunk=edges_per_chunk,
+            rows_per_chunk=rows_per_chunk,
+            src_slice_rows=slice_rows,
+            num_src_slices=s_count,
+        )
+
+
 jax.tree_util.register_dataclass(BlockedSegmentPlan)
 
 
@@ -146,7 +227,24 @@ MAX_CHUNKS_PER_SLICE = 16384
 
 
 def _blocked_partial_contract(src, w, local_row, table, r_c, e_c, precision):
-    """messages → per-chunk partial rows: [C_s, R_c, D]."""
+    """messages → per-chunk partial rows: [C_s, R_c, D].
+
+    With a bf16 table (the ``gather_bf16`` mode) the message block and the
+    one-hot stay bf16 and the contraction runs MXU-native with f32
+    accumulation — half the gather/onehot bytes on top of the already-
+    approximate bf16 rows. f32 tables keep the exact HIGHEST-precision
+    contraction."""
+    if table.dtype == jnp.bfloat16:
+        msgs = w[..., None].astype(jnp.bfloat16) * table[src]   # [C_s, E_c, D]
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, r_c, e_c), 1)
+            == local_row[:, None, :]
+        ).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            onehot, msgs,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
     msgs = w[..., None] * table[src].astype(jnp.float32)        # [C_s, E_c, D]
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (1, r_c, e_c), 1)
@@ -187,6 +285,33 @@ def blocked_segment_sum(
     c = plan.src.shape[0]
     r_c, e_c = plan.rows_per_chunk, plan.edges_per_chunk
     d = table.shape[-1]
+
+    if plan.num_src_slices > 1:
+        # src-sliced path: scan over source-table windows; each slice's
+        # gather hits the engine's fast zone (194M vs 39M rows/s measured
+        # on the 1.37M-row H&M user table)
+        s_n, rps = plan.num_src_slices, plan.src_slice_rows
+        cs = c // s_n
+        pad_rows = s_n * rps - table.shape[0]
+        tab = jnp.pad(table, ((0, pad_rows), (0, 0)))
+        src3 = plan.src.reshape(s_n, cs, e_c)
+        w3 = plan.w.reshape(s_n, cs, e_c)
+        loc3 = plan.local_row.reshape(s_n, cs, e_c)
+        offs = jnp.arange(s_n, dtype=jnp.int32) * rps
+
+        def body(carry, xs):
+            s_ids, w_s, loc_s, off = xs
+            window = jax.lax.dynamic_slice(tab, (off, 0), (rps, d))
+            return carry, _blocked_partial_contract(
+                s_ids, w_s, loc_s, window, r_c, e_c, precision
+            )
+
+        _, partials = jax.lax.scan(body, 0, (src3, w3, loc3, offs))
+        out = jnp.zeros((plan.num_rows, d), jnp.float32)
+        return out.at[plan.row_ids.reshape(-1)].add(
+            partials.reshape(-1, d), mode="drop"
+        )
+
     if c <= MAX_CHUNKS_PER_SLICE:
         partials = _blocked_partial_contract(
             plan.src, plan.w, plan.local_row, table, r_c, e_c, precision
@@ -237,16 +362,32 @@ class BlockedGraph:
         metadata=dict(static=True), default=False
     )
 
+    # Source tables past this row count gather in src-slices (the XLA
+    # gather engine's rate collapses with table size; see the plan field).
+    SRC_SLICE_THRESHOLD = 1 << 18
+
     @staticmethod
     def from_graph(
         g: BipartiteGraph, edges_per_chunk: int = 128, rows_per_chunk: int = 8
     ) -> "BlockedGraph":
         eu, ei, w, eu_im, ei_im, w_im = g.host_arrays()
+        thr = BlockedGraph.SRC_SLICE_THRESHOLD
         return BlockedGraph(
-            to_user=BlockedSegmentPlan.from_edges(
+            # to_user gathers ITEM rows; to_item gathers USER rows
+            to_user=BlockedSegmentPlan.from_edges_src_sliced(
+                eu, ei, w, g.num_users, g.num_items,
+                edges_per_chunk, rows_per_chunk,
+            )
+            if g.num_items > thr
+            else BlockedSegmentPlan.from_edges(
                 eu, ei, w, g.num_users, edges_per_chunk, rows_per_chunk,
             ),
-            to_item=BlockedSegmentPlan.from_edges(
+            to_item=BlockedSegmentPlan.from_edges_src_sliced(
+                ei_im, eu_im, w_im, g.num_items, g.num_users,
+                edges_per_chunk, rows_per_chunk,
+            )
+            if g.num_users > thr
+            else BlockedSegmentPlan.from_edges(
                 ei_im, eu_im, w_im, g.num_items,
                 edges_per_chunk, rows_per_chunk,
             ),
@@ -273,12 +414,23 @@ class BlockedGraph:
         )
         um = np.lexsort((item_idx, user_idx))
         im = np.lexsort((user_idx, item_idx))
+        thr = BlockedGraph.SRC_SLICE_THRESHOLD
         return BlockedGraph(
-            to_user=BlockedSegmentPlan.from_edges(
+            to_user=BlockedSegmentPlan.from_edges_src_sliced(
+                user_idx[um], item_idx[um], w[um], num_users, num_items,
+                edges_per_chunk, rows_per_chunk,
+            )
+            if num_items > thr
+            else BlockedSegmentPlan.from_edges(
                 user_idx[um], item_idx[um], w[um], num_users,
                 edges_per_chunk, rows_per_chunk,
             ),
-            to_item=BlockedSegmentPlan.from_edges(
+            to_item=BlockedSegmentPlan.from_edges_src_sliced(
+                item_idx[im], user_idx[im], w[im], num_items, num_users,
+                edges_per_chunk, rows_per_chunk,
+            )
+            if num_users > thr
+            else BlockedSegmentPlan.from_edges(
                 item_idx[im], user_idx[im], w[im], num_items,
                 edges_per_chunk, rows_per_chunk,
             ),

@@ -138,3 +138,54 @@ class TestGatherBF16:
         assert isinstance(op, BlockedGraph) and op.gather_bf16
         g2 = BipartiteGraph.from_edges(eu, ei, 1000, 100)
         assert not select_propagation(cfg, g2).gather_bf16
+
+
+class TestSrcSlicedGather:
+    def test_sliced_plan_matches_segment_sum(self):
+        import jax.numpy as jnp
+
+        from laplace_gnn_recommendation_tpu.data.graph import BipartiteGraph
+        from laplace_gnn_recommendation_tpu.data.synthetic import (
+            random_bipartite_edges,
+        )
+        from laplace_gnn_recommendation_tpu.ops.spmm import propagate_bipartite
+        from laplace_gnn_recommendation_tpu.ops.spmm_blocked import (
+            BlockedSegmentPlan,
+            blocked_segment_sum,
+        )
+
+        eu, ei = random_bipartite_edges(
+            seed=4, num_users=500, num_items=300, avg_degree=7
+        )
+        g = BipartiteGraph.from_edges(eu, ei, 500, 300)
+        eu_h, ei_h, w_h, eu_im, ei_im, w_im = g.host_arrays()
+        rng = np.random.default_rng(1)
+        xu = jnp.asarray(rng.normal(size=(500, 16)).astype(np.float32))
+        xi = jnp.asarray(rng.normal(size=(300, 16)).astype(np.float32))
+        ru, ri = propagate_bipartite(g, xu, xi)
+        # force slicing with a tiny slice width (users split into 4 slices)
+        plan = BlockedSegmentPlan.from_edges_src_sliced(
+            ei_im, eu_im, w_im, 300, 500, slice_rows=128, chunk_bucket=8,
+        )
+        assert plan.num_src_slices == 4
+        got = blocked_segment_sum(plan, xu)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ri), rtol=1e-5, atol=1e-5)
+        # with bf16 gathers too
+        got16 = blocked_segment_sum(plan, xu, gather_bf16=True)
+        np.testing.assert_allclose(np.asarray(got16), np.asarray(ri), rtol=2e-2, atol=2e-2)
+
+    def test_from_graph_slices_big_source_tables(self):
+        from laplace_gnn_recommendation_tpu.data.graph import BipartiteGraph
+        from laplace_gnn_recommendation_tpu.data.synthetic import (
+            random_bipartite_edges,
+        )
+        from laplace_gnn_recommendation_tpu.ops.spmm_blocked import BlockedGraph
+
+        eu, ei = random_bipartite_edges(
+            seed=0, num_users=600, num_items=100, avg_degree=3
+        )
+        # user-table metadata past the threshold → to_item slices its source
+        g = BipartiteGraph.from_edges(eu, ei, (1 << 18) + 8, 100)
+        bg = BlockedGraph.from_graph(g)
+        assert bg.to_item.num_src_slices == 3  # ceil(2^18+8 / 2^17)
+        assert bg.to_user.num_src_slices == 1
