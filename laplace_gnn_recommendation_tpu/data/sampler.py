@@ -315,6 +315,12 @@ class SubgraphSampler:
                     ],
                     axis=1,
                 ).astype(np.int32)
+                if cands.shape[1] == 0:
+                    # width 0 is the C side's TRAIN sentinel — keep eval
+                    # semantics by padding one inert column (-1): the XOR
+                    # then reduces to count-one over the positives alone,
+                    # exactly the Python path's empty-candidates behavior
+                    cands = np.full((len(seed_users), 1), -1, np.int32)
                 batch = self._sample_batch_native(
                     seed_users, b, valid_rows, eval_cands=cands
                 )

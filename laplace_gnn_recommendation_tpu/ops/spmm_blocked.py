@@ -188,6 +188,11 @@ class BlockedSegmentPlan:
                 )
             )
         cmax = max(p.src.shape[0] for p in plans)
+        # keep the per-scan-step chunk count ≤ MAX_CHUNKS_PER_SLICE: the
+        # device path sub-splits each src-slice into k2 scan steps, so cmax
+        # must divide evenly into k2 blocks (no-op pads make up the rest)
+        k2 = -(-cmax // MAX_CHUNKS_PER_SLICE)
+        cmax = -(-cmax // k2) * k2
 
         def pad_stack(field, fill):
             return np.concatenate(
@@ -289,15 +294,21 @@ def blocked_segment_sum(
     if plan.num_src_slices > 1:
         # src-sliced path: scan over source-table windows; each slice's
         # gather hits the engine's fast zone (194M vs 39M rows/s measured
-        # on the 1.37M-row H&M user table)
+        # on the 1.37M-row H&M user table). Slices with more than
+        # MAX_CHUNKS_PER_SLICE chunks sub-split into k2 scan steps sharing
+        # one window offset, so the per-step message block stays bounded
+        # (the plan builder rounds the chunk count to divide evenly).
         s_n, rps = plan.num_src_slices, plan.src_slice_rows
         cs = c // s_n
+        k2 = -(-cs // MAX_CHUNKS_PER_SLICE)
+        steps = s_n * k2
+        cs2 = cs // k2
         pad_rows = s_n * rps - table.shape[0]
         tab = jnp.pad(table, ((0, pad_rows), (0, 0)))
-        src3 = plan.src.reshape(s_n, cs, e_c)
-        w3 = plan.w.reshape(s_n, cs, e_c)
-        loc3 = plan.local_row.reshape(s_n, cs, e_c)
-        offs = jnp.arange(s_n, dtype=jnp.int32) * rps
+        src3 = plan.src.reshape(steps, cs2, e_c)
+        w3 = plan.w.reshape(steps, cs2, e_c)
+        loc3 = plan.local_row.reshape(steps, cs2, e_c)
+        offs = jnp.repeat(jnp.arange(s_n, dtype=jnp.int32) * rps, k2)
 
         def body(carry, xs):
             s_ids, w_s, loc_s, off = xs

@@ -210,9 +210,13 @@ def sharded_mips_topk(
         offset = my * shard_items
         scores = jnp.dot(u, it.T, preferred_element_type=jnp.float32)
         if num_valid_items is not None:
+            # pad-tail columns mask to -inf, NOT EXCLUDE_FILL: user
+            # exclusions may legitimately fill a row's top-k with
+            # EXCLUDE_FILL ties, and an out-of-catalog pad id must never
+            # win one of those slots (ids ≥ num_valid_items don't exist)
             col_global = offset + jnp.arange(shard_items)
             scores = jnp.where(
-                (col_global < num_valid_items)[None, :], scores, EXCLUDE_FILL
+                (col_global < num_valid_items)[None, :], scores, -jnp.inf
             )
         if has_excl:
             local_ids = ex_items - offset
@@ -233,6 +237,11 @@ def sharded_mips_topk(
         idx_all = jax.lax.all_gather(idx, MODEL_AXIS, axis=1, tiled=True)
         mvals, mpos = jax.lax.top_k(vals_all, k)
         midx = jnp.take_along_axis(idx_all, mpos, axis=1)
+        if num_valid_items is not None:
+            # a row with < k unmasked items can still surface -inf slots;
+            # clamp their ids into the catalog (same garbage-but-valid
+            # class the reference's over-excluded rows produce)
+            midx = jnp.where(jnp.isfinite(mvals), midx, 0)
         return mvals, midx
 
     in_specs = (

@@ -36,8 +36,9 @@ SEARCH_SPACE: Dict[str, list] = {
 
 def load_sweep_yaml(path: str = "sweep.yaml") -> Dict[str, list]:
     """Load a wandb-sweep-format config artifact into a SEARCH_SPACE dict
-    (the reference drives its sweep from ``sweep.yaml:11-37``; this keeps
-    the artifact the single source of truth for both engines).
+    (the reference drives its sweep from ``sweep.yaml:11-37``);
+    ``resolve_search_space`` prefers the artifact when present, so editing
+    sweep.yaml changes what ``run_study``/``run_hpo`` explore.
 
     ``values`` lists pass through; ``{min, max, int_uniform}`` ranges expand
     to the integer grid. Uses a minimal parser (the image has no yaml
@@ -73,10 +74,7 @@ def load_sweep_yaml(path: str = "sweep.yaml") -> Dict[str, list]:
                 cur = body[:-1]
             elif body.startswith("values:"):
                 vals = body.split(":", 1)[1].strip().strip("[]")
-                space[cur] = [
-                    float(v) if ("." in v or "e" in v.lower()) else int(v)
-                    for v in vals.split(",")
-                ]
+                space[cur] = [_parse_sweep_value(v) for v in vals.split(",")]
             elif body.startswith("min:"):
                 rng_lo = float(body.split(":", 1)[1])
             elif body.startswith("max:"):
@@ -85,11 +83,37 @@ def load_sweep_yaml(path: str = "sweep.yaml") -> Dict[str, list]:
     return space
 
 
-def sample_trial(rng: np.random.Generator) -> Dict:
+def _parse_sweep_value(v: str):
+    v = v.strip().strip("'").strip('"')
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        return v  # categorical strings pass through
+
+
+def resolve_search_space(path: str = "sweep.yaml") -> Dict[str, list]:
+    """The sweep.yaml artifact when present (reference behavior: the YAML
+    drives the sweep), else the built-in ``SEARCH_SPACE``."""
+    if os.path.exists(path):
+        loaded = load_sweep_yaml(path)
+        if loaded:
+            return loaded
+    return SEARCH_SPACE
+
+
+def sample_trial(
+    rng: np.random.Generator, space: Optional[Dict[str, list]] = None
+) -> Dict:
+    space = space if space is not None else SEARCH_SPACE
     params = {k: rng.choice(v).item() if isinstance(v[0], (int, float)) else v[rng.integers(len(v))]
-              for k, v in SEARCH_SPACE.items()}
+              for k, v in space.items()}
     # n_hop_neighbors tied to num_gnn_layers as in run_hpo.py:38
-    params["n_hop_neighbors"] = params["num_gnn_layers"]
+    if "num_gnn_layers" in params:
+        params["n_hop_neighbors"] = params["num_gnn_layers"]
     return params
 
 
@@ -108,18 +132,21 @@ def run_study(
     n_trials: int = 40,
     seed: int = 0,
     out_csv: Optional[str] = "output/trials.csv",
+    search_space: Optional[Dict[str, list]] = None,
 ) -> Dict:
     """Minimize ``objective(config)`` (reference objective: 1 − precision_val,
     ``run_hpo.py:52``). Returns the best params dict; writes a trials table.
     """
+    space = search_space if search_space is not None else resolve_search_space()
     try:  # pragma: no cover - optuna not in the image
         import optuna
 
         def train(trial):
             params = {
-                k: trial.suggest_categorical(k, v) for k, v in SEARCH_SPACE.items()
+                k: trial.suggest_categorical(k, v) for k, v in space.items()
             }
-            params["n_hop_neighbors"] = params["num_gnn_layers"]
+            if "num_gnn_layers" in params:
+                params["n_hop_neighbors"] = params["num_gnn_layers"]
             return objective(make_trial_config(base, params))
 
         study = optuna.create_study()
@@ -136,7 +163,7 @@ def run_study(
     rows: List[Dict] = []
     best_val, best_params = float("inf"), {}
     for i in range(n_trials):
-        params = sample_trial(rng)
+        params = sample_trial(rng, space)
         val = objective(make_trial_config(base, params))
         rows.append({"trial": i, "value": val, **params})
         if val < best_val:

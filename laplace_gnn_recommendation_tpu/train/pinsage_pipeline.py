@@ -48,6 +48,28 @@ class PinSAGEConfig:
     only the batch's touched rows move through HBM per step."""
 
 
+# cached jitted sharded-retrieval chunk fns, keyed by (mesh, k, num_valid) —
+# eager shard_map dispatch per chunk costs minutes over the remote relay
+_SHARDED_HITS_CACHE: dict = {}
+
+
+def _sharded_hits_topk(mesh, k: int, num_valid: int):
+    key = (mesh, k, num_valid)
+    fn = _SHARDED_HITS_CACHE.get(key)
+    if fn is None:
+        from ..ops.topk import sharded_mips_topk
+
+        @jax.jit
+        def fn(queries, sharded_h, excl, cnt):
+            return sharded_mips_topk(
+                mesh, queries, sharded_h, k, excl, cnt,
+                num_valid_items=num_valid,
+            )
+
+        _SHARDED_HITS_CACHE[key] = fn
+    return fn
+
+
 def embed_all_items(
     cfg: PinSAGEConfig,
     params: dict,
@@ -121,12 +143,9 @@ def hits_at_k(
             excl[row, : len(items)] = items
             cnt[row] = len(items)
         if sharded_h is not None:
-            from ..ops.topk import sharded_mips_topk
-
-            _, topk = sharded_mips_topk(
-                mesh, h[jnp.asarray(latest)], sharded_h, k,
+            _, topk = _sharded_hits_topk(mesh, k, num_valid)(
+                h[jnp.asarray(latest)], sharded_h,
                 jnp.asarray(excl.astype(np.int32)), jnp.asarray(cnt),
-                num_valid_items=num_valid,
             )
         else:
             scores = jnp.asarray(h)[jnp.asarray(latest)] @ h.T

@@ -305,3 +305,78 @@ class TestPinSAGESharded:
         r2 = P.train(cfg, data, log_fn=quiet, mesh=mesh8)
         assert r1["loss"] == pytest.approx(r2["loss"], rel=1e-4)
         assert r1["test_hits"] == pytest.approx(r2["test_hits"], abs=1e-9)
+
+
+class TestPadTailNeverEscapes:
+    def test_over_excluded_user_stays_in_catalog(self, mesh8):
+        """A user whose exclusions cover nearly the whole catalog must not
+        receive out-of-catalog pad ids from the sharded path (the catalog
+        pads from 10 to 12 rows on the 4-way model axis)."""
+        import jax.numpy as jnp
+
+        from laplace_gnn_recommendation_tpu.ops.topk import sharded_mips_topk
+        from laplace_gnn_recommendation_tpu.parallel.mesh import (
+            row_sharding,
+            shard_rows_pad,
+        )
+        import jax
+
+        rng = np.random.default_rng(0)
+        true_i = 10
+        i_pad = shard_rows_pad(true_i, mesh8)  # 12 on the 4-way axis
+        items = np.zeros((i_pad, 8), np.float32)
+        items[:true_i] = rng.normal(size=(true_i, 8))
+        it = jax.device_put(jnp.asarray(items), row_sharding(mesh8))
+        u = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+        # exclude 8 of the 10 real items -> only 2 valid, k=5 overflows
+        ex = jnp.asarray(np.tile(np.arange(8, dtype=np.int32), (4, 1)))
+        exc = jnp.full((4,), 8, jnp.int32)
+        vals, idx = sharded_mips_topk(
+            mesh8, u, it, 5, ex, exc, num_valid_items=true_i
+        )
+        assert (np.asarray(idx) < true_i).all(), np.asarray(idx)
+        # the two REAL unmasked items outrank everything else
+        assert set(np.asarray(idx)[0][:2].tolist()) == {8, 9}
+
+
+class TestEvalEmptyCandidates:
+    def test_native_eval_with_empty_matcher_matches_python(self):
+        """Zero-width candidate matrices must NOT fall into the C side's
+        train sentinel — the XOR must reduce to count-one over positives
+        (the Python path's empty-candidates behavior)."""
+        from laplace_gnn_recommendation_tpu import native
+
+        if native.LIB is None:
+            pytest.skip("no native lib")
+        from laplace_gnn_recommendation_tpu.data.graph import HostCSR
+        from laplace_gnn_recommendation_tpu.data.matchers import Matcher
+        from laplace_gnn_recommendation_tpu.data.sampler import SubgraphSampler
+
+        class EmptyMatcher(Matcher):
+            def get_matches(self, user_id):
+                return np.empty(0, np.int64)
+
+        eu, ei = random_bipartite_edges(
+            seed=2, num_users=20, num_items=15, avg_degree=4
+        )
+        ucsr = HostCSR.from_edges(eu, ei, 20, 15)
+        icsr = HostCSR.from_edges(ei, eu, 15, 20)
+        cfg = Config(
+            batch_size=4, num_neighbors=50, n_hop_neighbors=2, k=4,
+            candidate_pool_size=4,
+        )
+        mk = lambda nat: SubgraphSampler(  # noqa: E731
+            cfg, ucsr, icsr, train=False, matchers=[EmptyMatcher()],
+            randomization=True, seed=1, use_native=nat,
+        )
+        b_nat = mk(True).sample_batch(np.arange(4))
+        b_py = mk(False).sample_batch(np.arange(4))
+        for row in range(4):
+            def negs(b):
+                m = np.asarray(b.label_mask)[row]
+                lab = np.asarray(b.label)[row]
+                return sorted(
+                    np.asarray(b.label_item_global)[row][m & (lab == 0)].tolist()
+                )
+
+            assert negs(b_nat) == negs(b_py), row
