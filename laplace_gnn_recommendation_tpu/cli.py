@@ -33,6 +33,13 @@ def run() -> None:
     add_dataclass_args(parser, lightgcn_config)
     args, _ = parser.parse_known_args()
 
+    if args.type not in ("preprocess", "preprocess_fashion"):
+        # multi-host pod launches set a coordinator address; single-process
+        # runs no-op (the preprocessing entries never touch devices)
+        from .parallel.mesh import distributed_init
+
+        distributed_init()
+
     if args.type == "preprocess":
         from .data.preprocess_movielens import preprocess
 

@@ -25,17 +25,38 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def distributed_init() -> None:
-    """Initialize multi-host JAX if launched under a multi-process runtime.
+def distributed_init(strict: bool = False) -> bool:
+    """Initialize multi-host JAX when launched under a multi-process runtime.
 
-    Safe no-op for single-process runs. (``jax.distributed.initialize`` picks
-    coordinator/process ids from the TPU runtime environment variables.)
+    Returns True when the distributed runtime is (already) initialized.
+    Launch detection: any of the coordinator env vars the TPU/pod runtimes
+    set (``JAX_COORDINATOR_ADDRESS``/``COORDINATOR_ADDRESS``, or
+    ``MEGASCALE_COORDINATOR_ADDRESS``). Single-process runs are a no-op
+    returning False. Failures raise when ``strict`` (a pod launch that
+    cannot initialize must not silently train on one host's devices);
+    non-strict logs and falls back to single-process — the CLI default, so
+    local development never needs the flag unset.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        try:  # pragma: no cover - multi-host only
-            jax.distributed.initialize()
-        except Exception:
-            pass
+    if jax.process_count() > 1:
+        return True  # already initialized by a prior call / the launcher
+    coord = (
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    )
+    if not coord:
+        return False
+    try:  # pragma: no cover - multi-host only
+        jax.distributed.initialize()
+        return True
+    except Exception as exc:
+        if strict:
+            raise
+        print(
+            f"[mesh] multi-host init failed ({exc}); continuing "
+            "single-process — pass strict=True to make this fatal"
+        )
+        return False
 
 
 def build_mesh(

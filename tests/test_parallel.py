@@ -120,3 +120,35 @@ class TestGraphStore:
         cust = open(tmp_path / "customers.csv").read().strip().split("\n")
         assert cust[0] == ":ID(customer),age,zip,:LABEL,_id"
         assert "neo4j-admin import" in bulk_import_command(str(tmp_path))
+
+
+class TestDistributedInit:
+    def test_noop_without_coordinator(self, monkeypatch):
+        from laplace_gnn_recommendation_tpu.parallel.mesh import distributed_init
+
+        for var in (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+        ):
+            monkeypatch.delenv(var, raising=False)
+        assert distributed_init() is False
+
+    def test_strict_raises_on_init_failure(self, monkeypatch):
+        """A pod launch that cannot initialize must not silently fall back
+        when strict=True (and must return False non-strict). The failing
+        initialize is stubbed — a real bad coordinator can retry with long
+        timeouts, which a unit test must not depend on."""
+        import jax
+        import pytest
+
+        from laplace_gnn_recommendation_tpu.parallel.mesh import distributed_init
+
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "203.0.113.1:1234")
+
+        def boom():
+            raise RuntimeError("coordinator unreachable")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        with pytest.raises(RuntimeError):
+            distributed_init(strict=True)
+        assert distributed_init(strict=False) is False
