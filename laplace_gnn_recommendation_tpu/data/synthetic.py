@@ -67,6 +67,70 @@ def random_bipartite_edges(
     return users[first].astype(np.int64), items[first].astype(np.int64)
 
 
+def latent_bipartite_edges(
+    seed: int,
+    num_users: int,
+    num_items: int,
+    avg_degree: float,
+    num_clusters: int = 16,
+    in_cluster_p: float = 0.85,
+    popularity_alpha: float = 0.8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Clustered (latent-factor) interactions — a *learnable* synthetic graph.
+
+    ``random_bipartite_edges`` is structureless: on it, collaborative
+    filtering can learn nothing beyond item popularity, so it exercises
+    throughput but cannot demonstrate that a model learns. Here every user
+    and item carries a hidden cluster id; each interaction draws an item
+    from the user's own cluster with probability ``in_cluster_p``
+    (popularity-weighted within the cluster), else from the global
+    popularity distribution. Co-preference structure is therefore real and
+    recoverable purely from the graph — a working recommender must beat
+    both the random floor AND the popularity-only baseline
+    (``tests/test_synthetic_learnability.py``), which covers the role the
+    reference's real-data acceptance runs play
+    (``tests/test_acceptance_movielens.py:53-60``) in this zero-egress env.
+
+    Returns ``(edge_user, edge_item, user_cluster, item_cluster)``; the
+    (user, item) pairs are deduplicated, every user keeps ≥1 interaction.
+    """
+    rng = np.random.default_rng(seed)
+    deg = 1 + rng.poisson(max(avg_degree - 1.0, 0.0), size=num_users)
+    deg = np.minimum(deg, num_items)
+    total = int(deg.sum())
+    users = np.repeat(np.arange(num_users, dtype=np.int64), deg)
+
+    user_cluster = rng.integers(0, num_clusters, num_users)
+    item_cluster = rng.integers(0, num_clusters, num_items)
+    ranks = np.arange(1, num_items + 1, dtype=np.float64)
+    probs = ranks ** (-popularity_alpha)
+    probs /= probs.sum()
+
+    items = rng.choice(num_items, size=total, p=probs).astype(np.int64)
+    in_cluster = rng.random(total) < in_cluster_p
+    ucl = user_cluster[users]
+    for c in range(num_clusters):
+        sel = in_cluster & (ucl == c)
+        n = int(sel.sum())
+        if n == 0:
+            continue
+        members = np.flatnonzero(item_cluster == c)
+        if len(members) == 0:  # empty cluster: keep the global draw
+            continue
+        pc = probs[members] / probs[members].sum()
+        items[sel] = members[rng.choice(len(members), size=n, p=pc)]
+
+    key = users * num_items + items
+    _, first = np.unique(key, return_index=True)
+    first = np.sort(first)
+    return (
+        users[first].astype(np.int64),
+        items[first].astype(np.int64),
+        user_cluster.astype(np.int32),
+        item_cluster.astype(np.int32),
+    )
+
+
 def random_hetero_graph(
     seed: int,
     num_users: int = 50,
