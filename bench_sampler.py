@@ -85,9 +85,43 @@ def run_reference_port(n_users: int) -> float:
     return edges / (time.perf_counter() - t0)
 
 
+def run_store(n_batches: int) -> float:
+    """Store-backed sampler (InMemoryGraphStore answering the real Cypher)
+    on the same graph/config — the TPU build's analog of the reference's
+    per-``__getitem__`` DB round-trip bottleneck (``dataset_neo.py:51-57``).
+    The number quantifies the store-path cost the parity tier pays."""
+    from laplace_gnn_recommendation_tpu.constants import (
+        EDGE_KEY, NODE_ITEM, NODE_USER,
+    )
+    from laplace_gnn_recommendation_tpu.data.store_sampler import (
+        GraphStoreSampler, InMemoryGraphStore,
+    )
+
+    eu, ei, num_users, num_items = _graph()
+    ucsr = HostCSR.from_edges(eu, ei, num_users, num_items)
+    icsr = HostCSR.from_edges(ei, eu, num_items, num_users)
+    store = InMemoryGraphStore(
+        {NODE_USER: NODE_USER, NODE_ITEM: NODE_ITEM},
+        {EDGE_KEY: (eu, ei)},
+        {EDGE_KEY: np.zeros(len(eu), np.int64)},  # all TRAIN
+    )
+    cfg = Config(batch_size=24, num_neighbors=64, n_hop_neighbors=3, k=12)
+    s = GraphStoreSampler(
+        cfg, store, ucsr, icsr, train=True, split_type="train", seed=1
+    )
+    rng = np.random.default_rng(0)
+    edges = 0
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        b = s.sample_batch(rng.integers(0, num_users, 24))
+        edges += int(np.asarray(b.edge_mask).sum())
+    return edges / (time.perf_counter() - t0)
+
+
 def main():
     fast = run(native=True, n_batches=20)
     ref = run_reference_port(n_users=48)
+    store = run_store(n_batches=2)
     print(
         json.dumps(
             {
@@ -95,6 +129,16 @@ def main():
                 "value": round(fast, 1),
                 "unit": "edges/s",
                 "vs_baseline": round(fast / ref, 2),
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "store_backed_sampled_edges_per_sec",
+                "value": round(store, 1),
+                "unit": "edges/s",
+                "vs_in_process": round(store / fast, 4),
             }
         )
     )

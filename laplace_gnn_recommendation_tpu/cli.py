@@ -29,6 +29,10 @@ def run() -> None:
     )
     parser.add_argument("--artifact_dir", default="data/derived")
     parser.add_argument("--raw_dir", default="data/original")
+    # mesh axes for launcher-driven multi-chip/multi-host runs (MeshConfig
+    # is skipped by the auto-flag generator; these map onto it explicitly)
+    parser.add_argument("--mesh_data_axis", type=int, default=None)
+    parser.add_argument("--mesh_model_axis", type=int, default=None)
     add_dataclass_args(parser, link_pred_config)
     add_dataclass_args(parser, lightgcn_config)
     args, _ = parser.parse_known_args()
@@ -49,14 +53,22 @@ def run() -> None:
 
         preprocess(preprocessing_config, args.raw_dir, args.artifact_dir)
     elif args.type == "lightgcn":
+        import dataclasses as _dc
+        import json as _json
+
         from .data.link_pred_data import create_link_pred_data_from_artifacts
         from .data.lightgcn_data import lightgcn_data_from_hetero
         from .train.lightgcn_pipeline import train
 
         cfg = apply_parsed_args(lightgcn_config, args)
+        if args.mesh_data_axis is not None:
+            cfg.mesh.data_axis = args.mesh_data_axis
+        if args.mesh_model_axis is not None:
+            cfg.mesh.model_axis = args.mesh_model_axis
         data_bundle, _ = create_link_pred_data_from_artifacts(args.artifact_dir, link_pred_config)
         data = lightgcn_data_from_hetero(data_bundle.graph)
-        train(cfg, data)
+        stats = train(cfg, data)
+        print("FINAL_STATS " + _json.dumps(_dc.asdict(stats)))
     elif args.type == "encoder":
         from .data.link_pred_data import create_link_pred_data_from_artifacts
         from .train.encdec_pipeline import run_pipeline

@@ -78,6 +78,33 @@ class InMemoryGraphStore:
                         self._rels.append(
                             (f"{et.rel}_{name}", et, s[m], d[m])
                         )
+        # per-type node-id universe (dense 0..max ids — the bulk-import
+        # format's contiguous-id contract) for membership bitmaps
+        self._n_of_type: Dict[str, int] = {}
+        for _, et, s, d in self._rels:
+            if len(s):
+                self._n_of_type[et.src] = max(
+                    self._n_of_type.get(et.src, 1), int(s.max()) + 1
+                )
+                self._n_of_type[et.dst] = max(
+                    self._n_of_type.get(et.dst, 1), int(d.max()) + 1
+                )
+        for t in self.node_label_of_type:
+            self._n_of_type.setdefault(t, 1)
+        # CSR (by src) + CSC (by dst) index per relationship: frontier
+        # expansion and final edge filtering run as array ops instead of the
+        # per-node full-table rescans of the round-2 version (O(F·E) → O(E);
+        # the rescan version needed minutes per seed past ~10k nodes)
+        self._idx: List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+        for _, et, s, d in self._rels:
+            n_s, n_d = self._n_of_type[et.src], self._n_of_type[et.dst]
+            o_s = np.argsort(s, kind="stable")
+            ptr_s = np.zeros(n_s + 1, np.int64)
+            np.cumsum(np.bincount(s, minlength=n_s), out=ptr_s[1:])
+            o_d = np.argsort(d, kind="stable")
+            ptr_d = np.zeros(n_d + 1, np.int64)
+            np.cumsum(np.bincount(d, minlength=n_d), out=ptr_d[1:])
+            self._idx.append((ptr_s, d[o_s], ptr_d, s[o_d]))
         self.queries_served = 0
 
     # -- Database interface -------------------------------------------------
@@ -119,42 +146,74 @@ class InMemoryGraphStore:
 
     # -- subgraphAll semantics ----------------------------------------------
 
+    @staticmethod
+    def _ragged_gather(ptr: np.ndarray, vals: np.ndarray, ids: np.ndarray):
+        """Concatenated ``vals[ptr[i]:ptr[i+1]]`` for every ``i`` in ``ids``
+        — the vectorized neighbor expansion (no Python per-node loop)."""
+        starts, ends = ptr[ids], ptr[ids + 1]
+        counts = ends - starts
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, vals.dtype)
+        # standard ragged-gather: absolute positions via repeat + cumsum
+        out_idx = np.repeat(starts, counts) + (
+            np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        return vals[out_idx]
+
     def _subgraph_all(
         self, node_type: str, node_id: int, allowed: List[str], max_level: int
     ) -> List[List]:
         allowed_set = set(allowed)
-        # frontier BFS over (node_type, id) with undirected filtered edges
-        in_set = {(node_type, node_id)}
-        frontier = {(node_type, node_id)}
+        # frontier BFS with per-type membership bitmaps + CSR/CSC expansion
+        in_mask = {t: np.zeros(n, bool) for t, n in self._n_of_type.items()}
+        if node_id >= len(in_mask.get(node_type, ())):
+            return []  # isolated seed outside every relationship's universe
+        in_mask[node_type][node_id] = True
+        frontier: Dict[str, np.ndarray] = {
+            node_type: np.asarray([node_id], np.int64)
+        }
         for _ in range(max_level):
-            nxt = set()
-            for rel_name, et, s, d in self._rels:
+            nxt: Dict[str, List[np.ndarray]] = {}
+            for (rel_name, et, _, _), (ptr_s, d_by_s, ptr_d, s_by_d) in zip(
+                self._rels, self._idx
+            ):
                 if rel_name not in allowed_set:
                     continue
-                for (ft, fid) in frontier:
-                    if ft == et.src:
-                        for x in d[s == fid]:
-                            nxt.add((et.dst, int(x)))
-                    if ft == et.dst:
-                        for x in s[d == fid]:
-                            nxt.add((et.src, int(x)))
-            nxt -= in_set
-            if not nxt:
+                f = frontier.get(et.src)
+                if f is not None and len(f):
+                    nxt.setdefault(et.dst, []).append(
+                        self._ragged_gather(ptr_s, d_by_s, f)
+                    )
+                f = frontier.get(et.dst)
+                if f is not None and len(f):
+                    nxt.setdefault(et.src, []).append(
+                        self._ragged_gather(ptr_d, s_by_d, f)
+                    )
+            frontier = {}
+            for t, parts in nxt.items():
+                cand = np.unique(np.concatenate(parts))
+                cand = cand[~in_mask[t][cand]]
+                if len(cand):
+                    in_mask[t][cand] = True
+                    frontier[t] = cand
+            if not frontier:
                 break
-            in_set |= nxt
-            frontier = nxt
-        # every allowed relationship among the subgraph's nodes
+        # every allowed relationship among the subgraph's nodes (one
+        # vectorized membership mask per relationship)
         rows: List[List] = []
         for rel_name, et, s, d in self._rels:
-            if rel_name not in allowed_set:
+            if rel_name not in allowed_set or not len(s):
+                continue
+            m = in_mask[et.src][s] & in_mask[et.dst][d]
+            if not m.any():
                 continue
             src_label = self.node_label_of_type[et.src]
             dst_label = self.node_label_of_type[et.dst]
-            for j in range(len(s)):
-                if (et.src, int(s[j])) in in_set and (et.dst, int(d[j])) in in_set:
-                    rows.append(
-                        [src_label, rel_name, dst_label, int(s[j]), int(d[j])]
-                    )
+            rows.extend(
+                [src_label, rel_name, dst_label, a, b]
+                for a, b in zip(s[m].tolist(), d[m].tolist())
+            )
         return rows
 
 

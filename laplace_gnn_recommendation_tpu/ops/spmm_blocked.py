@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,11 @@ class BlockedSegmentPlan:
     w: jnp.ndarray          # f32 [C, E_c] weights (pad → 0)
     local_row: jnp.ndarray  # int32 [C, E_c] dst row − chunk base (pad → 0)
     row_ids: jnp.ndarray    # int32 [C, R_c] global dst row per partial slot
+    # int32 [num_rows] index of each row's LAST partial slot in the
+    # flattened (row-sorted) partial layout, -1/previous for empty rows —
+    # drives the sorted cumsum-diff combine (see ``blocked_segment_sum``).
+    # None on plans that combine by scatter.
+    ends: Optional[jnp.ndarray] = None
     num_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
     edges_per_chunk: int = dataclasses.field(metadata=dict(static=True), default=128)
     rows_per_chunk: int = dataclasses.field(metadata=dict(static=True), default=8)
@@ -53,37 +58,52 @@ class BlockedSegmentPlan:
     # the 1.37M-row H&M user table).
     src_slice_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_src_slices: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # Combine partials by sorted cumulative-sum + boundary difference
+    # instead of scatter-add. XLA's TPU scatter runs ~7M rows/s into large
+    # outputs (measured 290 ms for 2M partial rows → the 1.37M-row H&M user
+    # table — 75% of the whole segsum); the sorted combine costs one cumsum
+    # (13 ms) + one boundary gather (65 ms total), 4.4× faster. Requires the
+    # flattened row_ids to be non-decreasing, so it is only set on UNSLICED
+    # plans (src-sliced plans restart row order per slice and keep scatter —
+    # their outputs are small, where scatter is cheap: 10 ms at 350k→105k).
+    sorted_combine: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
 
     @staticmethod
-    def from_edges(
+    def _plan_np(
         dst_sorted: np.ndarray,
         src: np.ndarray,
         w: np.ndarray,
         num_rows: int,
-        edges_per_chunk: int = 128,
-        rows_per_chunk: int = 8,
-        chunk_bucket: int = 1024,
-    ) -> "BlockedSegmentPlan":
-        """``chunk_bucket`` rounds the chunk count up with no-op pad chunks
-        (w=0, row_ids→num_rows, dropped by the scatter) so similar-sized
-        graphs land on the SAME array shapes — one compiled executable
-        serves e.g. both eval splits instead of one multi-minute remote
-        compile each at H&M scale. Overhead ≤ bucket-1 no-op chunks (~0.5%
-        of the 218k-chunk H&M train plan)."""
+        edges_per_chunk: int,
+        rows_per_chunk: int,
+        chunk_bucket: int,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Numpy core of the plan build → (src, w, local_row, row_ids).
+
+        Kept numpy end-to-end: the jnp conversion happens ONCE in the public
+        constructors (the earlier per-sub-plan device arrays forced device
+        round-trips in the src-sliced stacker — minutes over a remote-device
+        relay at H&M scale).
+
+        Pad slots inside a chunk carry the chunk's LAST real row id (their
+        partials are exactly zero — no edge maps to them — so they add
+        nothing under either combine), keeping the flattened row_ids
+        non-decreasing for the sorted combine; bucket pad chunks carry
+        ``num_rows`` (> every real row, still sorted; zero partials).
+        """
         dst_sorted = np.asarray(dst_sorted)
         src = np.asarray(src)
         w = np.asarray(w)
         e = len(dst_sorted)
         e_c, r_c = edges_per_chunk, rows_per_chunk
         if e == 0:
-            return BlockedSegmentPlan(
-                src=jnp.zeros((1, e_c), jnp.int32),
-                w=jnp.zeros((1, e_c), jnp.float32),
-                local_row=jnp.zeros((1, e_c), jnp.int32),
-                row_ids=jnp.full((1, r_c), num_rows, jnp.int32),
-                num_rows=num_rows,
-                edges_per_chunk=e_c,
-                rows_per_chunk=r_c,
+            return (
+                np.zeros((1, e_c), np.int32),
+                np.zeros((1, e_c), np.float32),
+                np.zeros((1, e_c), np.int32),
+                np.full((1, r_c), num_rows, np.int32),
             )
         # --- greedy chunking, vectorized (the per-chunk np.unique walk was
         # O(E·E_c) in Python — minutes at H&M's 28M edges; this build is
@@ -122,25 +142,60 @@ class BlockedSegmentPlan:
         p_w[chunk_of_edge, pos_in_chunk] = w
         run_base = run_of[cuts[:-1]]                      # first run per chunk
         p_local[chunk_of_edge, pos_in_chunk] = (run_of - run_base[chunk_of_edge])
-        # per-chunk distinct row ids (pad → num_rows, dropped by the scatter)
+        # per-chunk distinct row ids; pad slots duplicate the chunk's last
+        # real row (zero partials — see docstring), keeping flat order sorted
         n_dist = run_of[cuts[1:] - 1] - run_base + 1
         grid = run_base[:, None] + np.arange(r_c)[None, :]
         valid = np.arange(r_c)[None, :] < n_dist[:, None]
         run_vals = dst_sorted[rb[:-1]]                    # row value per run
+        last_real = run_vals[run_base + n_dist - 1]       # [c_real]
         p_rows = np.full((c, r_c), num_rows, np.int32)    # bucket pads → no-op
         p_rows[:c_real] = np.where(
-            valid, run_vals[np.minimum(grid, n_runs - 1)], num_rows
+            valid, run_vals[np.minimum(grid, n_runs - 1)],
+            last_real[:, None],
         ).astype(np.int32)
+        return p_src, p_w, p_local, p_rows
+
+    @staticmethod
+    def from_edges(
+        dst_sorted: np.ndarray,
+        src: np.ndarray,
+        w: np.ndarray,
+        num_rows: int,
+        edges_per_chunk: int = 128,
+        rows_per_chunk: int = 8,
+        chunk_bucket: int = 1024,
+        sorted_combine: bool = False,
+    ) -> "BlockedSegmentPlan":
+        """``chunk_bucket`` rounds the chunk count up with no-op pad chunks
+        (w=0, zero partials) so similar-sized graphs land on the SAME array
+        shapes — one compiled executable serves e.g. both eval splits
+        instead of one multi-minute remote compile each at H&M scale.
+        Overhead ≤ bucket-1 no-op chunks (~0.5% of the 218k-chunk H&M train
+        plan). ``sorted_combine`` builds the boundary index for the
+        cumsum-diff combine (see the field doc)."""
+        p_src, p_w, p_local, p_rows = BlockedSegmentPlan._plan_np(
+            dst_sorted, src, w, num_rows, edges_per_chunk, rows_per_chunk,
+            chunk_bucket,
+        )
+        ends = None
+        if sorted_combine:
+            flat = p_rows.reshape(-1)
+            ends = jnp.asarray(
+                (np.searchsorted(flat, np.arange(num_rows), side="right") - 1
+                 ).astype(np.int32)
+            )
         return BlockedSegmentPlan(
             src=jnp.asarray(p_src),
             w=jnp.asarray(p_w),
             local_row=jnp.asarray(p_local),
             row_ids=jnp.asarray(p_rows),
+            ends=ends,
             num_rows=num_rows,
-            edges_per_chunk=e_c,
-            rows_per_chunk=r_c,
+            edges_per_chunk=edges_per_chunk,
+            rows_per_chunk=rows_per_chunk,
+            sorted_combine=sorted_combine,
         )
-
 
     @staticmethod
     def from_edges_src_sliced(
@@ -153,18 +208,21 @@ class BlockedSegmentPlan:
         rows_per_chunk: int = 8,
         chunk_bucket: int = 1024,
         slice_rows: int = 131072,
+        sorted_combine: bool = False,
     ) -> "BlockedSegmentPlan":
         """Partition the edges by SOURCE-row slice so the device gathers
         from ≤``slice_rows``-row table windows — the fast zone of the XLA
         gather engine (see the field comment). Within each slice the
         dst-sorted order is preserved (stable filtering of a sorted list),
         so the per-slice chunking is the ordinary plan; all slices pad to
-        one chunk count and stack."""
+        one chunk count and stack. Sliced plans always combine by scatter
+        (row order restarts per slice), so ``sorted_combine`` only applies
+        to the single-slice fallback."""
         s_count = -(-max(num_src_rows, 1) // slice_rows)
         if s_count <= 1:
             return BlockedSegmentPlan.from_edges(
                 dst_sorted, src, w, num_rows, edges_per_chunk,
-                rows_per_chunk, chunk_bucket,
+                rows_per_chunk, chunk_bucket, sorted_combine=sorted_combine,
             )
         src = np.asarray(src)
         dst_sorted = np.asarray(dst_sorted)
@@ -182,24 +240,24 @@ class BlockedSegmentPlan:
         for si in range(s_count):
             sl = slice(bounds[si], bounds[si + 1])
             plans.append(
-                BlockedSegmentPlan.from_edges(
+                BlockedSegmentPlan._plan_np(
                     dst_o[sl], src_o[sl] - si * slice_rows, w_o[sl], num_rows,
                     edges_per_chunk, rows_per_chunk, chunk_bucket,
                 )
             )
-        cmax = max(p.src.shape[0] for p in plans)
+        cmax = max(p[0].shape[0] for p in plans)
         # keep the per-scan-step chunk count ≤ MAX_CHUNKS_PER_SLICE: the
         # device path sub-splits each src-slice into k2 scan steps, so cmax
         # must divide evenly into k2 blocks (no-op pads make up the rest)
         k2 = -(-cmax // MAX_CHUNKS_PER_SLICE)
         cmax = -(-cmax // k2) * k2
 
-        def pad_stack(field, fill):
+        def pad_stack(i, fill):
             return np.concatenate(
                 [
                     np.pad(
-                        np.asarray(getattr(p, field)),
-                        ((0, cmax - getattr(p, field).shape[0]), (0, 0)),
+                        p[i],
+                        ((0, cmax - p[i].shape[0]), (0, 0)),
                         constant_values=fill,
                     )
                     for p in plans
@@ -207,10 +265,10 @@ class BlockedSegmentPlan:
             )
 
         return BlockedSegmentPlan(
-            src=jnp.asarray(pad_stack("src", 0)),
-            w=jnp.asarray(pad_stack("w", 0.0)),
-            local_row=jnp.asarray(pad_stack("local_row", 0)),
-            row_ids=jnp.asarray(pad_stack("row_ids", num_rows)),
+            src=jnp.asarray(pad_stack(0, 0)),
+            w=jnp.asarray(pad_stack(1, 0.0)),
+            local_row=jnp.asarray(pad_stack(2, 0)),
+            row_ids=jnp.asarray(pad_stack(3, num_rows)),
             num_rows=num_rows,
             edges_per_chunk=edges_per_chunk,
             rows_per_chunk=rows_per_chunk,
@@ -261,6 +319,23 @@ def _blocked_partial_contract(src, w, local_row, table, r_c, e_c, precision):
         preferred_element_type=jnp.float32,
         precision=precision,
     )
+
+
+def _combine_sorted(plan: BlockedSegmentPlan, flat: jnp.ndarray) -> jnp.ndarray:
+    """Row-sorted partials → output rows by cumulative sum + boundary
+    difference (no scatter; see ``BlockedSegmentPlan.sorted_combine``).
+
+    Numerics: out[r] = S[end_r] − S[end_{r−1}] — the cumsum's accumulated
+    rounding drift cancels in the difference; the residual is the f32
+    representation granularity at the cumsum's magnitude (~1e-5 relative at
+    H&M scale, measured 6e-6 max vs scatter), below the bf16 gather noise
+    the big-table mode already carries.
+    """
+    d = flat.shape[-1]
+    s = jnp.cumsum(flat.astype(jnp.float32), axis=0)
+    z = jnp.zeros((1, d), jnp.float32)
+    g = jnp.concatenate([z, s], axis=0)[plan.ends + 1]     # [num_rows, D]
+    return g - jnp.concatenate([z, g[:-1]], axis=0)
 
 
 def blocked_segment_sum(
@@ -327,6 +402,8 @@ def blocked_segment_sum(
         partials = _blocked_partial_contract(
             plan.src, plan.w, plan.local_row, table, r_c, e_c, precision
         )
+        if plan.sorted_combine:
+            return _combine_sorted(plan, partials.reshape(-1, d))
         out = jnp.zeros((plan.num_rows, d), partials.dtype)
         return out.at[plan.row_ids.reshape(-1)].add(
             partials.reshape(-1, d), mode="drop"
@@ -351,6 +428,11 @@ def blocked_segment_sum(
         )
 
     _, partials = jax.lax.scan(body, 0, (src, w, local))   # [g, s, R_c, D]
+    if plan.sorted_combine:
+        # runtime pad chunks append AFTER the bucketed plan with zero
+        # partials; `ends` never points past the bucketed length, so the
+        # tail is inert under the sorted combine too
+        return _combine_sorted(plan, partials.reshape(-1, d))
     flat_rows = jnp.pad(
         plan.row_ids, ((0, pad), (0, 0)), constant_values=plan.num_rows
     ).reshape(-1)
@@ -376,30 +458,54 @@ class BlockedGraph:
     # Source tables past this row count gather in src-slices (the XLA
     # gather engine's rate collapses with table size; see the plan field).
     SRC_SLICE_THRESHOLD = 1 << 18
+    # Output tables at/above this row count combine by sorted cumsum-diff
+    # instead of scatter (XLA's scatter rate into big outputs is the
+    # binding cost — 290 ms vs 65 ms at the 1.37M-row H&M user table).
+    SORTED_COMBINE_MIN_ROWS = 1 << 19
+
+    @staticmethod
+    def _auto_r_c(num_edges: int, num_rows: int, e_c: int) -> int:
+        """Rows-per-chunk from the direction's average degree: enough row
+        slots that E_c edges fill a chunk (dense packing of the gather),
+        but no more — every surplus slot is a zero partial row the combine
+        still pays for (R_c=8 on the item direction of H&M cost 2.4M
+        partial slots where R_c=2 needs ~450k)."""
+        avg = max(num_edges / max(num_rows, 1), 1e-9)
+        need = int(np.ceil(e_c / avg)) + 1
+        r = 1 << int(np.ceil(np.log2(max(need, 1))))
+        return int(np.clip(r, 2, 8))
+
+    @staticmethod
+    def _direction_plan(
+        dst_sorted, src, w, num_rows, num_src_rows, e_c, r_c
+    ) -> BlockedSegmentPlan:
+        if r_c is None:
+            r_c = BlockedGraph._auto_r_c(len(dst_sorted), num_rows, e_c)
+        sort_comb = num_rows >= BlockedGraph.SORTED_COMBINE_MIN_ROWS
+        if num_src_rows > BlockedGraph.SRC_SLICE_THRESHOLD:
+            return BlockedSegmentPlan.from_edges_src_sliced(
+                dst_sorted, src, w, num_rows, num_src_rows, e_c, r_c,
+                sorted_combine=sort_comb,
+            )
+        return BlockedSegmentPlan.from_edges(
+            dst_sorted, src, w, num_rows, e_c, r_c,
+            sorted_combine=sort_comb,
+        )
 
     @staticmethod
     def from_graph(
-        g: BipartiteGraph, edges_per_chunk: int = 128, rows_per_chunk: int = 8
+        g: BipartiteGraph, edges_per_chunk: int = 128,
+        rows_per_chunk: Optional[int] = None,
     ) -> "BlockedGraph":
         eu, ei, w, eu_im, ei_im, w_im = g.host_arrays()
-        thr = BlockedGraph.SRC_SLICE_THRESHOLD
         return BlockedGraph(
             # to_user gathers ITEM rows; to_item gathers USER rows
-            to_user=BlockedSegmentPlan.from_edges_src_sliced(
+            to_user=BlockedGraph._direction_plan(
                 eu, ei, w, g.num_users, g.num_items,
                 edges_per_chunk, rows_per_chunk,
-            )
-            if g.num_items > thr
-            else BlockedSegmentPlan.from_edges(
-                eu, ei, w, g.num_users, edges_per_chunk, rows_per_chunk,
             ),
-            to_item=BlockedSegmentPlan.from_edges_src_sliced(
+            to_item=BlockedGraph._direction_plan(
                 ei_im, eu_im, w_im, g.num_items, g.num_users,
-                edges_per_chunk, rows_per_chunk,
-            )
-            if g.num_users > thr
-            else BlockedSegmentPlan.from_edges(
-                ei_im, eu_im, w_im, g.num_items,
                 edges_per_chunk, rows_per_chunk,
             ),
         )
@@ -411,7 +517,7 @@ class BlockedGraph:
         num_users: int,
         num_items: int,
         edges_per_chunk: int = 128,
-        rows_per_chunk: int = 8,
+        rows_per_chunk: Optional[int] = None,
     ) -> "BlockedGraph":
         """Build directly from host edge arrays (no device round trip —
         ``from_graph`` has to download the edge arrays first, which is slow
@@ -425,24 +531,13 @@ class BlockedGraph:
         )
         um = np.lexsort((item_idx, user_idx))
         im = np.lexsort((user_idx, item_idx))
-        thr = BlockedGraph.SRC_SLICE_THRESHOLD
         return BlockedGraph(
-            to_user=BlockedSegmentPlan.from_edges_src_sliced(
+            to_user=BlockedGraph._direction_plan(
                 user_idx[um], item_idx[um], w[um], num_users, num_items,
                 edges_per_chunk, rows_per_chunk,
-            )
-            if num_items > thr
-            else BlockedSegmentPlan.from_edges(
-                user_idx[um], item_idx[um], w[um], num_users,
-                edges_per_chunk, rows_per_chunk,
             ),
-            to_item=BlockedSegmentPlan.from_edges_src_sliced(
+            to_item=BlockedGraph._direction_plan(
                 item_idx[im], user_idx[im], w[im], num_items, num_users,
-                edges_per_chunk, rows_per_chunk,
-            )
-            if num_users > thr
-            else BlockedSegmentPlan.from_edges(
-                item_idx[im], user_idx[im], w[im], num_items,
                 edges_per_chunk, rows_per_chunk,
             ),
         )

@@ -36,8 +36,17 @@ def distributed_init(strict: bool = False) -> bool:
     cannot initialize must not silently train on one host's devices);
     non-strict logs and falls back to single-process — the CLI default, so
     local development never needs the flag unset.
+
+    On TPU pods / managed clusters ``jax.distributed.initialize()``
+    auto-detects the topology. Manual launches (including the 2-process
+    localhost gate in ``tests/test_multihost.py``) pass it explicitly via
+    ``JAX_NUM_PROCESSES`` + ``JAX_PROCESS_ID`` alongside the coordinator
+    address.
     """
-    if jax.process_count() > 1:
+    # NOTE: must not call jax.process_count()/jax.devices() here — they
+    # initialize the XLA backend, after which jax.distributed.initialize()
+    # refuses to run (observed in the 2-process localhost gate)
+    if jax.distributed.is_initialized():
         return True  # already initialized by a prior call / the launcher
     coord = (
         os.environ.get("JAX_COORDINATOR_ADDRESS")
@@ -46,8 +55,14 @@ def distributed_init(strict: bool = False) -> bool:
     )
     if not coord:
         return False
-    try:  # pragma: no cover - multi-host only
-        jax.distributed.initialize()
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc) if nproc is not None else None,
+            process_id=int(pid) if pid is not None else None,
+        )
         return True
     except Exception as exc:
         if strict:

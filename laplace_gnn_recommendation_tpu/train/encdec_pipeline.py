@@ -274,7 +274,14 @@ def run_pipeline(
         last_good = jax.tree.map(
             jnp.copy, (params, bn_state, opt_state)
         )
-        log_fn(f"TRAIN | epoch: {epoch} | loss: {np.mean(losses):.4f}")
+        # truncation telemetry (VERDICT r2 item 10): padded-batch overflow is
+        # the classic silent-correctness trap at scale — surface the sampler's
+        # counters every epoch and in the final Stats instead of hiding them
+        trunc = dict(getattr(train_s, "truncations", {}) or {})
+        trunc_note = (
+            f" | truncations: {trunc}" if any(trunc.values()) else ""
+        )
+        log_fn(f"TRAIN | epoch: {epoch} | loss: {np.mean(losses):.4f}{trunc_note}")
         report_results(
             ContinousStatsTrain(type="train", loss=float(np.mean(losses)), epoch=epoch),
             wandb, final=False,
@@ -327,12 +334,18 @@ def run_pipeline(
         ),
         wandb, final=True,
     )
+    # aggregate truncation counters across all three samplers (train/val/test)
+    agg: dict = {}
+    for s in (train_s, val_s, test_s):
+        for k_, v in (getattr(s, "truncations", {}) or {}).items():
+            agg[k_] = agg.get(k_, 0) + int(v)
     stats = Stats(
         loss=float(np.mean(losses)),
         recall_val=val_recall,
         recall_test=test_recall,
         precision_val=val_precision,
         precision_test=test_precision,
+        truncations=agg,
     )
     if return_state:
         return stats, params, bn_state

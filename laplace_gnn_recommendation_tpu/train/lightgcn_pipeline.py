@@ -521,7 +521,16 @@ def train(
     """
     cfg.print()
     if mesh is None:
-        mesh = build_mesh(1, 1, devices=[jax.devices()[0]])
+        # honor cfg.mesh for launcher-driven runs: any multi-process launch
+        # (jax.distributed already initialized by the CLI) or an explicit
+        # non-default axis spec spans ALL devices; the single-device default
+        # stays pinned to one chip (the reference's setting)
+        mc = getattr(cfg, "mesh", None)
+        explicit = mc is not None and (mc.data_axis, mc.model_axis) != (-1, 1)
+        if jax.process_count() > 1 or explicit:
+            mesh = build_mesh(mc.data_axis, mc.model_axis)
+        else:
+            mesh = build_mesh(1, 1, devices=[jax.devices()[0]])
     parts = mesh.shape[MODEL_AXIS]
 
     key = jax.random.PRNGKey(cfg.seed)
@@ -606,7 +615,13 @@ def train(
     )
 
     if export:
-        export_artifacts(params, data, cfg, cfg.artifact_dir, mesh=mesh)
+        if jax.process_count() > 1:
+            # the npz artifact writer downloads full tables, which is not a
+            # multi-host operation (shards are not process-addressable);
+            # multi-host runs persist through the sharded orbax checkpoints
+            log_fn("| skipping npz artifact export on a multi-process run")
+        else:
+            export_artifacts(params, data, cfg, cfg.artifact_dir, mesh=mesh)
 
     return Stats(
         loss=float(train_loss),

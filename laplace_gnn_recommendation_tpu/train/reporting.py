@@ -8,19 +8,26 @@ logging, and sweeps fall back to the optuna-style HPO driver (``train/hpo.py``).
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass
-from typing import Any, Optional
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
 
 
 @dataclass
 class Stats:
-    """Final run stats (reference ``reporting/types.py``)."""
+    """Final run stats (reference ``reporting/types.py``).
+
+    ``truncations`` surfaces the sampler's padded-batch overflow counters
+    (edges/labels/nodes dropped when a subgraph exceeds its static budget —
+    the silent-truncation correctness trap of SURVEY §7). Zero for every
+    healthy run; the acceptance tier asserts it.
+    """
 
     loss: float
     recall_val: float
     recall_test: float
     precision_val: float
     precision_test: float
+    truncations: Dict[str, int] = field(default_factory=dict)
 
 
 @dataclass

@@ -1,0 +1,167 @@
+"""Decompose the H&M-scale LightGCN train step (VERDICT r2 item 2).
+
+Isolates each resource of the blocked segment-sum on the real chip:
+gather+multiply only, one-hot contract without scatter, full segsum,
+both directions, K-loop forward, full value_and_grad — so the
+gather-roofline gap has a named owner. All operands ride as jit
+ARGUMENTS (closure constants overflow the remote compiler's request
+limit at this scale).
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laplace_gnn_recommendation_tpu.ops.spmm_blocked import (
+    MAX_CHUNKS_PER_SLICE,
+    BlockedGraph,
+    BlockedSegmentPlan,
+    blocked_segment_sum,
+    propagate_blocked,
+)
+
+NUM_USERS = 1_371_980
+NUM_ITEMS = 104_547
+DIM = 32
+K = 4
+REPS = 5
+
+
+def timed(label, fn, *args, reps=REPS):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{label:48s} {dt*1e3:10.1f} ms", flush=True)
+    return dt
+
+
+@jax.jit
+def seg_full(plan, table):
+    return blocked_segment_sum(plan, table, gather_bf16=True)
+
+
+@jax.jit
+def seg_gather_only(plan, table):
+    """Gather+multiply, reduced per chunk WITHOUT the one-hot contract or
+    scatter — the pure gather cost of the same access pattern."""
+    tab = table.astype(jnp.bfloat16)
+    c = plan.src.shape[0]
+    e_c = plan.edges_per_chunk
+    s = MAX_CHUNKS_PER_SLICE
+    g = -(-c // s)
+    pad = g * s - c
+    src = jnp.pad(plan.src, ((0, pad), (0, 0))).reshape(g, s, e_c)
+    w = jnp.pad(plan.w, ((0, pad), (0, 0))).reshape(g, s, e_c)
+
+    def body(carry, xs):
+        src_s, w_s = xs
+        msgs = w_s[..., None].astype(jnp.bfloat16) * tab[src_s]
+        return carry + jnp.sum(msgs.astype(jnp.float32), axis=(0, 1)), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((DIM,), jnp.float32), (src, w))
+    return out
+
+
+@jax.jit
+def seg_no_scatter(plan, table):
+    """Gather + one-hot contract, partials reduced instead of scattered."""
+    from laplace_gnn_recommendation_tpu.ops.spmm_blocked import (
+        _blocked_partial_contract,
+    )
+
+    tab = table.astype(jnp.bfloat16)
+    c = plan.src.shape[0]
+    r_c, e_c = plan.rows_per_chunk, plan.edges_per_chunk
+    s = MAX_CHUNKS_PER_SLICE
+    g = -(-c // s)
+    pad = g * s - c
+    src = jnp.pad(plan.src, ((0, pad), (0, 0))).reshape(g, s, e_c)
+    w = jnp.pad(plan.w, ((0, pad), (0, 0))).reshape(g, s, e_c)
+    local = jnp.pad(plan.local_row, ((0, pad), (0, 0))).reshape(g, s, e_c)
+
+    def body(carry, xs):
+        src_s, w_s, local_s = xs
+        p = _blocked_partial_contract(src_s, w_s, local_s, tab, r_c, e_c, "highest")
+        return carry + jnp.sum(p, axis=(0, 1)), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((DIM,), jnp.float32), (src, w, local))
+    return out
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("num_rows",))
+def scatter_only(row_ids, partials, num_rows):
+    out = jnp.zeros((num_rows, partials.shape[-1]), jnp.float32)
+    return out.at[row_ids.reshape(-1)].add(
+        partials.reshape(-1, partials.shape[-1]), mode="drop"
+    )
+
+
+def main():
+    z = np.load(f"/tmp/hm_edges_{NUM_USERS}_{NUM_ITEMS}.npz")
+    eu, ei = z["eu"], z["ei"]
+    # dedup like create_lightgcn_data would; use all edges as "train"
+    t0 = time.perf_counter()
+    bg = BlockedGraph.from_host_edges(eu, ei, NUM_USERS, NUM_ITEMS)
+    jax.block_until_ready(jax.tree.leaves(bg))
+    print(f"plan build+upload: {time.perf_counter()-t0:.1f}s", flush=True)
+    e = len(eu)
+    print(f"edges: {e}  to_user chunks={bg.to_user.src.shape} slices={bg.to_user.num_src_slices}")
+    print(f"        to_item chunks={bg.to_item.src.shape} slices={bg.to_item.num_src_slices}", flush=True)
+
+    rng = np.random.default_rng(0)
+    u32 = jnp.asarray(rng.normal(size=(NUM_USERS, DIM)).astype(np.float32))
+    i32 = jnp.asarray(rng.normal(size=(NUM_ITEMS, DIM)).astype(np.float32))
+
+    # --- to_user (gather from the 105k-item table, sorted combine to 1.37M)
+    print(f"to_user sorted_combine={bg.to_user.sorted_combine} "
+          f"r_c={bg.to_user.rows_per_chunk}")
+    print(f"to_item sorted_combine={bg.to_item.sorted_combine} "
+          f"r_c={bg.to_item.rows_per_chunk}", flush=True)
+    dt = timed("to_user FULL segsum", seg_full, bg.to_user, i32)
+    print(f"   -> {e/dt/1e6:.0f}M rows/s")
+    dt_g = timed("to_user gather+multiply only", seg_gather_only, bg.to_user, i32)
+    print(f"   -> {e/dt_g/1e6:.0f}M rows/s")
+    dt_c = timed("to_user gather+contract (no scatter)", seg_no_scatter, bg.to_user, i32)
+
+    # --- to_item (src-sliced gather from 1.37M users, scatter to 105k items)
+    dt = timed("to_item FULL segsum", seg_full, bg.to_item, u32)
+    print(f"   -> {e/dt/1e6:.0f}M rows/s")
+    c_i, r_ci = bg.to_item.src.shape[0], bg.to_item.rows_per_chunk
+    fake_p = jnp.zeros((c_i, r_ci, DIM), jnp.float32)
+    timed("to_item scatter only", scatter_only, bg.to_item.row_ids, fake_p,
+          NUM_ITEMS)
+
+    # --- both directions fused + K loop
+    f_prop = jax.jit(lambda b, u, i: propagate_blocked(b, u, i))
+    dt_p = timed("propagate_blocked (both dirs)", f_prop, bg, u32, i32)
+
+    def fwd(b, u, i):
+        au, ai = u, i
+        for _ in range(K):
+            u, i = propagate_blocked(b, u, i)
+            au, ai = au + u, ai + i
+        return au, ai
+
+    f_fwd = jax.jit(fwd)
+    dt_f = timed(f"K={K} forward", f_fwd, bg, u32, i32)
+
+    def loss(u, i, b):
+        au, ai = fwd(b, u, i)
+        return jnp.sum(au[:128] @ ai[:128].T)
+
+    f_vg = jax.jit(lambda u, i, b: jax.value_and_grad(loss, argnums=(0, 1))(u, i, b))
+    dt_vg = timed("value_and_grad(K-loop + toy head)", f_vg, u32, i32, bg)
+    print(f"\nfwd gathers {e*K*2/1e6:.0f}M -> {e*K*2/dt_f/1e6:.0f}M rows/s")
+    print(f"fwd+bwd gathers {e*K*4/1e6:.0f}M -> {e*K*4/dt_vg/1e6:.0f}M rows/s")
+
+
+if __name__ == "__main__":
+    main()

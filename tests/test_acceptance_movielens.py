@@ -81,3 +81,8 @@ class TestAcceptanceMovieLens:
         assert stats.loss < 0.5
         assert stats.recall_test > 0.0015
         assert stats.precision_test > 0.01
+        # truncation telemetry (VERDICT r2 item 10): a healthy acceptance run
+        # must never silently drop edges/labels/nodes to its static budgets
+        assert stats.truncations and all(
+            v == 0 for v in stats.truncations.values()
+        ), stats.truncations

@@ -1,0 +1,156 @@
+"""Multi-host execution gate (VERDICT r2 item 3).
+
+Spawns TWO real ``jax.distributed`` processes on localhost (CPU backend,
+4 virtual devices each → one 8-device global mesh), drives
+``distributed_init`` through the PUBLIC CLI entry (``cli.run`` calls it on
+every training ``--type``), runs the public LightGCN ``train()`` over a
+2×4 (data×model) mesh spanning both processes, and asserts loss parity
+with the same training run on a single-controller 8-device mesh.
+
+The reference has no distributed runtime at all (SURVEY §2c); this is the
+TPU build's own §5 obligation — the code path exercised here is byte-for-
+byte the one a TPU pod launch takes (coordinator env vars → ``jax.
+distributed.initialize`` → global mesh → sharded public train()).
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def ml_artifacts(tmp_path_factory):
+    """Tiny ml-1m-format dataset, preprocessed once (shared with the two
+    subprocesses via the artifact dir)."""
+    raw = tmp_path_factory.mktemp("mh_raw")
+    rng = np.random.default_rng(7)
+    n_users, n_movies = 30, 24
+    users = [f"{i}::M::25::15::55117" for i in range(1, n_users + 1)]
+    (raw / "users.dat").write_text("\n".join(users) + "\n")
+    movies = [
+        f"{i}::Movie {i} (199{i % 10})::Comedy|Drama"
+        for i in range(1, n_movies + 1)
+    ]
+    (raw / "movies.dat").write_text("\n".join(movies) + "\n")
+    rows, ts = [], 956700000
+    for u in range(1, n_users + 1):
+        for m in rng.choice(np.arange(1, n_movies + 1), size=6, replace=False):
+            ts += 100
+            rows.append(f"{u}::{m}::4::{ts}")
+    (raw / "ratings.dat").write_text("\n".join(rows) + "\n")
+
+    art = str(tmp_path_factory.mktemp("mh_derived"))
+    from laplace_gnn_recommendation_tpu.configs import preprocessing_config
+    from laplace_gnn_recommendation_tpu.data import preprocess_movielens
+
+    preprocess_movielens.preprocess(preprocessing_config, str(raw), art)
+    return art
+
+
+CLI_ARGS = [
+    "--type", "lightgcn",
+    "--epochs", "4", "--eval_every", "2", "--batch_size", "16",
+    "--hidden_layer_size", "8", "--num_iterations", "2", "--k", "4",
+    "--mesh_data_axis", "2", "--mesh_model_axis", "4",
+]
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn(pid: int, port: int, art: str, cwd: str):
+    env = os.environ.copy()
+    env.update(
+        {
+            "PALLAS_AXON_POOL_IPS": "",  # disable the TPU plugin
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        }
+    )
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen(
+        [sys.executable, "-m", "laplace_gnn_recommendation_tpu.cli",
+         "--artifact_dir", art, *CLI_ARGS],
+        env=env, cwd=cwd,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+
+
+class TestMultiHost:
+    def test_two_process_train_matches_single_controller(
+        self, ml_artifacts, tmp_path
+    ):
+        # --- single-controller reference: same public train(), same 2×4
+        # mesh shape, on this process's 8 virtual devices
+        import jax
+
+        from laplace_gnn_recommendation_tpu.configs import (
+            LightGCNConfig, link_pred_config,
+        )
+        from laplace_gnn_recommendation_tpu.data.lightgcn_data import (
+            lightgcn_data_from_hetero,
+        )
+        from laplace_gnn_recommendation_tpu.data.link_pred_data import (
+            create_link_pred_data_from_artifacts,
+        )
+        from laplace_gnn_recommendation_tpu.parallel.mesh import build_mesh
+        from laplace_gnn_recommendation_tpu.train.lightgcn_pipeline import train
+
+        bundle, _ = create_link_pred_data_from_artifacts(
+            ml_artifacts, link_pred_config
+        )
+        data = lightgcn_data_from_hetero(bundle.graph)
+        cfg = LightGCNConfig(
+            epochs=4, eval_every=2, batch_size=16, hidden_layer_size=8,
+            num_iterations=2, k=4,
+        )
+        ref_stats = train(
+            cfg, data, mesh=build_mesh(2, 4), export=False,
+            log_fn=lambda *_: None,
+        )
+
+        # --- two real processes through the CLI entry
+        port = _free_port()
+        procs = [
+            _spawn(pid, port, ml_artifacts, str(tmp_path)) for pid in (0, 1)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=420)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-4000:]
+
+        final = [
+            json.loads(line.split("FINAL_STATS ", 1)[1])
+            for out in outs
+            for line in out.splitlines()
+            if line.startswith("FINAL_STATS ")
+        ]
+        assert len(final) == 2, outs[0][-2000:]
+        # both controllers computed the same replicated loss...
+        assert final[0]["loss"] == pytest.approx(final[1]["loss"], abs=1e-6)
+        # ...and it matches the single-controller run of the same program
+        assert final[0]["loss"] == pytest.approx(ref_stats.loss, abs=1e-4)
+        assert final[0]["recall_test"] == pytest.approx(
+            ref_stats.recall_test, abs=1e-6
+        )

@@ -145,7 +145,7 @@ class TestDistributedInit:
 
         monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "203.0.113.1:1234")
 
-        def boom():
+        def boom(*a, **kw):
             raise RuntimeError("coordinator unreachable")
 
         monkeypatch.setattr(jax.distributed, "initialize", boom)

@@ -60,6 +60,77 @@ class TestBlockedSegmentSum:
             rows = np.asarray(plan.row_ids)
             assert ((rows <= plan.num_rows)).all()
 
+    def test_sorted_combine_matches_scatter(self):
+        """The cumsum-diff combine (the H&M-scale scatter replacement) is
+        numerically interchangeable with the scatter path."""
+        from laplace_gnn_recommendation_tpu.ops.spmm_blocked import (
+            blocked_segment_sum,
+        )
+
+        eu, ei = random_bipartite_edges(
+            seed=3, num_users=400, num_items=120, avg_degree=6
+        )
+        order = np.lexsort((ei, eu))
+        du = np.bincount(eu, minlength=400)
+        di = np.bincount(ei, minlength=120)
+        w = (1.0 / np.sqrt(np.maximum(du[eu] * di[ei], 1.0))).astype(np.float32)
+        rng = np.random.default_rng(1)
+        tab = jnp.asarray(rng.normal(size=(120, 8)).astype(np.float32))
+        kw = dict(edges_per_chunk=16, rows_per_chunk=4, chunk_bucket=8)
+        p_scat = BlockedSegmentPlan.from_edges(
+            eu[order], ei[order], w[order], 400, **kw
+        )
+        p_sort = BlockedSegmentPlan.from_edges(
+            eu[order], ei[order], w[order], 400, sorted_combine=True, **kw
+        )
+        assert p_sort.ends is not None and p_sort.sorted_combine
+        # flattened row ids must be non-decreasing for the sorted combine
+        flat = np.asarray(p_sort.row_ids).reshape(-1)
+        assert (np.diff(flat) >= 0).all()
+        a = blocked_segment_sum(p_scat, tab)
+        b = blocked_segment_sum(p_sort, tab)
+        # the combine's residual is the f32 granularity at the cumsum's
+        # magnitude (absolute, not relative — see _combine_sorted docstring)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    def test_sorted_combine_scan_path(self, monkeypatch):
+        """Sorted combine through the big-graph lax.scan path (runtime pad
+        chunks appended after the bucketed plan must stay inert)."""
+        import laplace_gnn_recommendation_tpu.ops.spmm_blocked as sb
+
+        monkeypatch.setattr(sb, "MAX_CHUNKS_PER_SLICE", 4)
+        eu, ei = random_bipartite_edges(
+            seed=9, num_users=150, num_items=60, avg_degree=5
+        )
+        order = np.lexsort((ei, eu))
+        w = np.ones(len(eu), np.float32)
+        rng = np.random.default_rng(2)
+        tab = jnp.asarray(rng.normal(size=(60, 8)).astype(np.float32))
+        p = BlockedSegmentPlan.from_edges(
+            eu[order], ei[order], w[order], 150,
+            edges_per_chunk=16, rows_per_chunk=4, chunk_bucket=1,
+            sorted_combine=True,
+        )
+        assert p.src.shape[0] > 4  # really exercises the scan path
+        got = sb.blocked_segment_sum(p, tab)
+        want = jax.ops.segment_sum(
+            w[order][:, None] * np.asarray(tab)[ei[order]], eu[order],
+            num_segments=150,
+        )
+        # unnormalized w=1 weights → larger cumsum magnitude → larger f32
+        # granularity residual (see _combine_sorted docstring)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+
+    def test_auto_rows_per_chunk_by_degree(self):
+        """High-average-degree directions get small R_c (fewer zero partial
+        slots), low-degree directions get large R_c (dense packing)."""
+        assert BlockedGraph._auto_r_c(num_edges=25_000_000, num_rows=104_547,
+                                      e_c=128) == 2
+        assert BlockedGraph._auto_r_c(num_edges=25_000_000, num_rows=1_371_980,
+                                      e_c=128) == 8
+
     def test_gradient_parity(self, setup):
         g, bg, eu, ei, xu, xi = setup
 

@@ -198,6 +198,56 @@ class TestStoreSamplerParity:
         assert (np.asarray(batch.label)[lm] >= 0).all()
 
 
+class TestStoreSamplerAtScale:
+    def test_parity_at_10k_nodes(self):
+        """Parity at non-toy size (VERDICT r2 item 7): 15k nodes across 500
+        disjoint clusters — saturation is cheap per seed, so the vectorized
+        ``InMemoryGraphStore`` (CSR-indexed, no per-node rescans) can be
+        parity-checked where the round-2 rescan version took minutes."""
+        from laplace_gnn_recommendation_tpu.data.graph import HeteroGraph
+
+        rng = np.random.default_rng(11)
+        n_clusters, upc, ipc = 500, 20, 10     # 10k users, 5k items
+        nu, ni = n_clusters * upc, n_clusters * ipc
+        src_parts, dst_parts = [], []
+        for c in range(n_clusters):
+            u = np.repeat(np.arange(upc) + c * upc, 3)
+            i = rng.integers(0, ipc, len(u)) + c * ipc
+            src_parts.append(u)
+            dst_parts.append(i)
+        s = np.concatenate(src_parts)
+        d = np.concatenate(dst_parts)
+        # dedup (u, i) pairs like the splitter does
+        s, d = np.unique(np.stack([s, d]), axis=1)
+        g = HeteroGraph(
+            node_features={
+                NODE_USER: np.zeros((nu, 1), np.int32),
+                NODE_ITEM: np.zeros((ni, 1), np.int32),
+            },
+            edges={EDGE_KEY: (s, d)},
+            num_nodes={NODE_USER: nu, NODE_ITEM: ni},
+        )
+        cfg = Config(
+            batch_size=8, num_neighbors=100, n_hop_neighbors=6, k=4,
+            candidate_pool_size=4,
+        )
+        ucsr, icsr = _csrs(g)
+        kw = dict(train=True, randomization=False, seed=0)
+        s_mem = SubgraphSampler(cfg, ucsr, icsr, use_native=False, **kw)
+        s_db = GraphStoreSampler(
+            cfg, _store_from(g), ucsr, icsr, split_type="train", **kw
+        )
+        seeds = rng.integers(0, nu, 8)
+        b1 = s_mem.sample_batch(seeds)
+        b2 = s_db.sample_batch(seeds)
+        assert _edge_pairs(b1) == _edge_pairs(b2)
+        for f in ("user_ids", "item_ids", "label", "label_item_global",
+                  "gt_items", "gt_count"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(b1, f)), np.asarray(getattr(b2, f)), err_msg=f
+            )
+
+
 class TestStoreBackedPipeline:
     def test_run_pipeline_with_graph_store(self):
         """The full public run_pipeline trains against the DB backend — the
