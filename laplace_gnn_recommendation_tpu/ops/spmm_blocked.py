@@ -464,23 +464,16 @@ class BlockedGraph:
     SORTED_COMBINE_MIN_ROWS = 1 << 19
 
     @staticmethod
-    def _auto_r_c(num_edges: int, num_rows: int, e_c: int) -> int:
-        """Rows-per-chunk from the direction's average degree: enough row
-        slots that E_c edges fill a chunk (dense packing of the gather),
-        but no more — every surplus slot is a zero partial row the combine
-        still pays for (R_c=8 on the item direction of H&M cost 2.4M
-        partial slots where R_c=2 needs ~450k)."""
-        avg = max(num_edges / max(num_rows, 1), 1e-9)
-        need = int(np.ceil(e_c / avg)) + 1
-        r = 1 << int(np.ceil(np.log2(max(need, 1))))
-        return int(np.clip(r, 2, 8))
-
-    @staticmethod
     def _direction_plan(
         dst_sorted, src, w, num_rows, num_src_rows, e_c, r_c
     ) -> BlockedSegmentPlan:
         if r_c is None:
-            r_c = BlockedGraph._auto_r_c(len(dst_sorted), num_rows, e_c)
+            # R_c=8 keeps chunks densely packed across degree distributions:
+            # a mean-degree-derived R_c=2 on the H&M item direction cut the
+            # partial count 5× but ballooned the chunk count 2.26× (the
+            # power-law TAIL's low-degree rows stop packing) — gather work
+            # dominates, so fill wins over partial count
+            r_c = 8
         sort_comb = num_rows >= BlockedGraph.SORTED_COMBINE_MIN_ROWS
         if num_src_rows > BlockedGraph.SRC_SLICE_THRESHOLD:
             return BlockedSegmentPlan.from_edges_src_sliced(

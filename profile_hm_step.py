@@ -28,13 +28,20 @@ K = 4
 REPS = 5
 
 
+def _sync(out):
+    """Completion barrier: over the axon relay block_until_ready is not a
+    real barrier — close every timing window with a scalar D2H."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.numpy.ravel(leaf)[0])
+
+
 def timed(label, fn, *args, reps=REPS):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / reps
     print(f"{label:48s} {dt*1e3:10.1f} ms", flush=True)
     return dt
@@ -110,7 +117,8 @@ def main():
     # dedup like create_lightgcn_data would; use all edges as "train"
     t0 = time.perf_counter()
     bg = BlockedGraph.from_host_edges(eu, ei, NUM_USERS, NUM_ITEMS)
-    jax.block_until_ready(jax.tree.leaves(bg))
+    for leaf in jax.tree.leaves(bg):
+        _sync(leaf)
     print(f"plan build+upload: {time.perf_counter()-t0:.1f}s", flush=True)
     e = len(eu)
     print(f"edges: {e}  to_user chunks={bg.to_user.src.shape} slices={bg.to_user.num_src_slices}")

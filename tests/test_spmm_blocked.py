@@ -123,14 +123,6 @@ class TestBlockedSegmentSum:
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
         )
 
-    def test_auto_rows_per_chunk_by_degree(self):
-        """High-average-degree directions get small R_c (fewer zero partial
-        slots), low-degree directions get large R_c (dense packing)."""
-        assert BlockedGraph._auto_r_c(num_edges=25_000_000, num_rows=104_547,
-                                      e_c=128) == 2
-        assert BlockedGraph._auto_r_c(num_edges=25_000_000, num_rows=1_371_980,
-                                      e_c=128) == 8
-
     def test_gradient_parity(self, setup):
         g, bg, eu, ei, xu, xi = setup
 

@@ -71,6 +71,136 @@ class TestGenerator:
         assert same > 0.6  # 0.85 nominal minus popularity/dedup leakage
 
 
+def _hetero_from_edges(eu, ei, num_users, num_items):
+    """Clustered edges → HeteroGraph with id features (the minimal
+    categorical feature that lets the inductive encoder tell nodes apart —
+    constant features would collapse every cluster)."""
+    from laplace_gnn_recommendation_tpu.constants import EDGE_KEY
+    from laplace_gnn_recommendation_tpu.data.graph import HeteroGraph
+
+    return HeteroGraph(
+        node_features={
+            EDGE_KEY.src: np.arange(num_users, dtype=np.int32)[:, None],
+            EDGE_KEY.dst: np.arange(num_items, dtype=np.int32)[:, None],
+        },
+        edges={EDGE_KEY: (np.asarray(eu, np.int64), np.asarray(ei, np.int64))},
+        num_nodes={EDGE_KEY.src: num_users, EDGE_KEY.dst: num_items},
+    )
+
+
+class TestStructureLearningEncDec:
+    """Hetero encoder-decoder must beat the popularity ranking of ITS OWN
+    candidate pools (VERDICT r2 item 8) — same eval protocol, scores
+    replaced by global item popularity."""
+
+    N_U, N_I, K = 200, 100, 6
+
+    def test_encdec_beats_popularity_ranking(self):
+        from laplace_gnn_recommendation_tpu.configs import Config
+        from laplace_gnn_recommendation_tpu.data.link_pred_data import (
+            create_link_pred_data, create_samplers,
+        )
+        from laplace_gnn_recommendation_tpu.train.encdec_pipeline import (
+            make_eval_step, run_pipeline, test_with_sampler,
+        )
+
+        eu, ei, _, _ = latent_bipartite_edges(
+            seed=11, num_users=self.N_U, num_items=self.N_I, avg_degree=14,
+            num_clusters=8, in_cluster_p=0.85,
+        )
+        g = _hetero_from_edges(eu, ei, self.N_U, self.N_I)
+        cfg = Config(
+            epochs=25, batch_size=16, num_neighbors=32, n_hop_neighbors=2,
+            k=self.K, candidate_pool_size=30, hidden_layer_size=32,
+            encoder_layer_output_size=32, learning_rate=0.01,
+            eval_every=10, seed=42, positive_edges_ratio=0.5,
+            negative_edges_ratio=3.0,
+        )
+        data = create_link_pred_data(g, cfg)
+        stats, params, bn_state = run_pipeline(
+            cfg, data, log_fn=lambda *_: None, return_state=True
+        )
+
+        # popularity baseline in the SAME protocol: rank each user's
+        # candidate slots by global train popularity instead of the model
+        _, _, test_s = create_samplers(cfg, data, seed=cfg.seed)
+        tr_eu, tr_ei = eu, ei  # train split is a prefix mask of these
+        pop = np.bincount(np.asarray(ei), minlength=self.N_I).astype(np.float64)
+        recalls = []
+        for batch in test_s.epoch_batches(shuffle=False):
+            cand = np.asarray(batch.label_item_global)
+            mask = np.asarray(batch.label_mask)
+            scores = np.where(mask, pop[np.clip(cand, 0, None)], -np.inf)
+            idx = np.argsort(-scores, kind="stable", axis=1)[:, : self.K]
+            top = np.take_along_axis(cand, idx, axis=1)
+            top = np.where(np.take_along_axis(mask, idx, axis=1), top, -2)
+            gt = np.asarray(batch.gt_items)
+            gtc = np.asarray(batch.gt_count)
+            for r in range(len(gtc)):
+                if gtc[r] > 0:
+                    hits = np.isin(top[r], gt[r, : gtc[r]]).sum()
+                    recalls.append(hits / gtc[r])
+        pop_recall = float(np.mean(recalls))
+
+        assert pop_recall > 0.0
+        assert stats.recall_test > 1.3 * pop_recall, (
+            stats.recall_test, pop_recall,
+        )
+
+
+class TestStructureLearningPinSAGE:
+    """PinSAGE latest-item retrieval must beat popularity HITS@k under the
+    identical protocol (exclude interacted, hit = any top-k in gt)."""
+
+    N_U, N_I, K = 300, 150, 10
+
+    def test_pinsage_beats_popularity_hits(self):
+        from laplace_gnn_recommendation_tpu.data.etl import LinkPredArtifacts
+        from laplace_gnn_recommendation_tpu.data.pinsage_data import (
+            build_pinsage_data,
+        )
+        from laplace_gnn_recommendation_tpu.data.splitting import (
+            train_test_split_by_time,
+        )
+        from laplace_gnn_recommendation_tpu.train.pinsage_pipeline import (
+            PinSAGEConfig, train,
+        )
+
+        eu, ei, _, _ = latent_bipartite_edges(
+            seed=13, num_users=self.N_U, num_items=self.N_I, avg_degree=14,
+            num_clusters=10, in_cluster_p=0.9,
+        )
+        g = _hetero_from_edges(eu, ei, self.N_U, self.N_I)
+        tr, va, te = train_test_split_by_time(np.asarray(eu, np.int64))
+        a = LinkPredArtifacts(
+            graph=g, train_mask=tr, val_mask=va, test_mask=te,
+            customer_id_map_forward={}, article_id_map_forward={},
+        )
+        pdata = build_pinsage_data(a)
+        cfg = PinSAGEConfig(
+            num_epochs=3, batches_per_epoch=120, batch_size=32,
+            hidden_dims=32, lr=3e-3, k=self.K, seed=0,
+        )
+        out = train(cfg, pdata, log_fn=lambda *_: None)
+
+        # popularity HITS@k under the identical protocol
+        pop_order = np.argsort(
+            -np.bincount(np.asarray(ei)[tr], minlength=self.N_I), kind="stable"
+        )
+        hits = []
+        for u in range(pdata.num_users):
+            gt = pdata.test_items[u]
+            if len(gt) == 0 or pdata.latest_item_per_user[u] < 0:
+                continue
+            seen = set(pdata.user_csr.neighbors(u).tolist())
+            recs = [i for i in pop_order if i not in seen][: self.K]
+            hits.append(bool(set(recs) & set(gt)))
+        pop_hits = float(np.mean(hits))
+
+        assert pop_hits > 0.0
+        assert out["test_hits"] > 1.3 * pop_hits, (out["test_hits"], pop_hits)
+
+
 class TestStructureLearning:
     def test_lightgcn_beats_popularity_baseline(self, clustered):
         data, *_ = clustered
