@@ -86,6 +86,34 @@ def main():
     n_p50, n_p95 = _percentiles(nat)
     p_p50, _ = _percentiles(py)
 
+    # ---- stage 1 at H&M catalog scale: int8 vs f32 (VERDICT r2 item 9) ----
+    hm_items = 104_547
+    item_hm = rng.normal(size=(hm_items, 64)).astype(np.float32)
+    user_hm = rng.normal(size=(4096, 64)).astype(np.float32)
+
+    def retrieval_lat(quantized: bool):
+        srv = RetrievalServer(
+            user_hm, item_hm, k=12, batch_size=256, quantized=quantized
+        )
+        srv.recommend(np.arange(256))  # compile
+        ts, tops = [], []
+        for r in range(20):
+            ids = (np.arange(256) + 256 * r) % 4096
+            t0 = time.perf_counter()
+            items, _ = srv.recommend(ids)
+            ts.append(time.perf_counter() - t0)
+            tops.append(items)
+        return ts, np.concatenate(tops)
+
+    q_ts, q_top = retrieval_lat(True)
+    f_ts, f_top = retrieval_lat(False)
+    q_p50, q_p95 = _percentiles(q_ts)
+    f_p50, f_p95 = _percentiles(f_ts)
+    # top-12 set agreement per request row
+    agree = np.mean(
+        [len(np.intersect1d(a, b)) / 12.0 for a, b in zip(q_top, f_top)]
+    )
+
     print(
         json.dumps(
             {
@@ -96,6 +124,20 @@ def main():
                 "ranking_p95_ms": n_p95,
                 "retrieval_p50_ms": r_p50,
                 "retrieval_p95_ms": r_p95,
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "quantized_retrieval_105k_p50_ms",
+                "value": q_p50,
+                "unit": "ms",
+                "vs_f32_p50": round(f_p50 / q_p50, 2) if q_p50 else None,
+                "int8_p95_ms": q_p95,
+                "f32_p50_ms": f_p50,
+                "f32_p95_ms": f_p95,
+                "top12_agreement": round(float(agree), 4),
             }
         )
     )
