@@ -46,6 +46,17 @@ class BlockedSegmentPlan:
     # drives the sorted cumsum-diff combine (see ``blocked_segment_sum``).
     # None on plans that combine by scatter.
     ends: Optional[jnp.ndarray] = None
+    # Windowed variant of the boundary gather: ``combine_idx[w, j]`` is the
+    # (ends+1) boundary of the j-th row whose boundary falls in cumsum
+    # window w, LOCAL to the window (pad → 0, sliced away by
+    # ``combine_counts``). The XLA gather engine's big-table collapse (the
+    # same one src-slicing works around) makes the plain [num_rows]-from-
+    # [P+1] boundary gather cost 65 ms at H&M scale; gathering from
+    # ≤COMBINE_WINDOW-row cumsum windows runs in the fast zone.
+    combine_idx: Optional[jnp.ndarray] = None
+    combine_counts: Tuple[int, ...] = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
     num_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
     edges_per_chunk: int = dataclasses.field(metadata=dict(static=True), default=128)
     rows_per_chunk: int = dataclasses.field(metadata=dict(static=True), default=8)
@@ -179,18 +190,41 @@ class BlockedSegmentPlan:
             chunk_bucket,
         )
         ends = None
+        combine_idx = None
+        combine_counts: Tuple[int, ...] = ()
         if sorted_combine:
             flat = p_rows.reshape(-1)
-            ends = jnp.asarray(
-                (np.searchsorted(flat, np.arange(num_rows), side="right") - 1
-                 ).astype(np.int32)
-            )
+            e1 = np.searchsorted(flat, np.arange(num_rows), side="right").astype(
+                np.int64
+            )  # = ends + 1, in [0, P]
+            ends = jnp.asarray((e1 - 1).astype(np.int32))
+            p1 = flat.shape[0] + 1
+            if p1 > COMBINE_WINDOW:
+                # windowed boundary gather (see the field doc): rows are
+                # sorted by boundary, so each cumsum window owns a
+                # contiguous row range
+                w_cnt = -(-p1 // COMBINE_WINDOW)
+                bounds = np.searchsorted(
+                    e1, np.arange(w_cnt + 1) * COMBINE_WINDOW
+                )
+                counts = np.diff(bounds)
+                r_max = int(max(counts.max(), 1))
+                idx = np.zeros((w_cnt, r_max), np.int32)
+                for wi in range(w_cnt):
+                    c_w = counts[wi]
+                    idx[wi, :c_w] = (
+                        e1[bounds[wi]:bounds[wi + 1]] - wi * COMBINE_WINDOW
+                    )
+                combine_idx = jnp.asarray(idx)
+                combine_counts = tuple(int(c) for c in counts)
         return BlockedSegmentPlan(
             src=jnp.asarray(p_src),
             w=jnp.asarray(p_w),
             local_row=jnp.asarray(p_local),
             row_ids=jnp.asarray(p_rows),
             ends=ends,
+            combine_idx=combine_idx,
+            combine_counts=combine_counts,
             num_rows=num_rows,
             edges_per_chunk=edges_per_chunk,
             rows_per_chunk=rows_per_chunk,
@@ -321,6 +355,11 @@ def _blocked_partial_contract(src, w, local_row, table, r_c, e_c, precision):
     )
 
 
+# Cumsum-window width for the sorted combine's boundary gather — the XLA
+# gather fast zone (matches the src-slice width rationale).
+COMBINE_WINDOW = 131072
+
+
 def _combine_sorted(plan: BlockedSegmentPlan, flat: jnp.ndarray) -> jnp.ndarray:
     """Row-sorted partials → output rows by cumulative sum + boundary
     difference (no scatter; see ``BlockedSegmentPlan.sorted_combine``).
@@ -330,11 +369,39 @@ def _combine_sorted(plan: BlockedSegmentPlan, flat: jnp.ndarray) -> jnp.ndarray:
     representation granularity at the cumsum's magnitude (~1e-5 relative at
     H&M scale, measured 6e-6 max vs scatter), below the bf16 gather noise
     the big-table mode already carries.
+
+    The boundary gather runs windowed when the plan carries ``combine_idx``
+    (rows are boundary-sorted, so each ≤COMBINE_WINDOW-row cumsum window
+    serves a contiguous row range at the gather engine's fast-zone rate).
     """
     d = flat.shape[-1]
     s = jnp.cumsum(flat.astype(jnp.float32), axis=0)
     z = jnp.zeros((1, d), jnp.float32)
-    g = jnp.concatenate([z, s], axis=0)[plan.ends + 1]     # [num_rows, D]
+    s0 = jnp.concatenate([z, s], axis=0)                   # [P+1, D]
+    if plan.combine_idx is not None:
+        w_cnt = plan.combine_idx.shape[0]
+        total = w_cnt * COMBINE_WINDOW
+        # runtime scan padding can make s0 longer than the bucketed length
+        # the windows were built for — every boundary is < the bucketed
+        # P+1, so truncating to the window span is safe
+        s0p = (
+            s0[:total]
+            if s0.shape[0] >= total
+            else jnp.pad(s0, ((0, total - s0.shape[0]), (0, 0)))
+        )
+        offs = jnp.arange(w_cnt, dtype=jnp.int32) * COMBINE_WINDOW
+
+        def body(carry, xs):
+            idx_w, off = xs
+            win = jax.lax.dynamic_slice(s0p, (off, 0), (COMBINE_WINDOW, d))
+            return carry, win[idx_w]
+
+        _, gw = jax.lax.scan(body, 0, (plan.combine_idx, offs))
+        g = jnp.concatenate(
+            [gw[wi, : plan.combine_counts[wi]] for wi in range(w_cnt)]
+        )                                                   # [num_rows, D]
+    else:
+        g = s0[plan.ends + 1]                               # [num_rows, D]
     return g - jnp.concatenate([z, g[:-1]], axis=0)
 
 

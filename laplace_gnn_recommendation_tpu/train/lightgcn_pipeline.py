@@ -576,8 +576,15 @@ def train(
         return select_propagation(cfg, g, mesh)
 
     train_prop = prop_operand(data.train_graph)
-    val_prop = prop_operand(data.val_graph)
-    test_prop = prop_operand(data.test_graph)
+    # val/test operands build lazily on first eval: each is ~1 min of host
+    # plan construction + ~1 GB of device arrays at H&M scale, wasted when
+    # eval_every is sparse
+    _prop_cache: dict = {}
+
+    def eval_prop(name: str, graph: BipartiteGraph):
+        if name not in _prop_cache:
+            _prop_cache[name] = prop_operand(graph)
+        return _prop_cache[name]
 
     step_fn, tx = make_train_step(
         cfg, data.train_graph, max_deg_train, mesh=mesh, prop_graph=train_prop
@@ -594,7 +601,8 @@ def train(
             key, k_eval = jax.random.split(key)
             val_loss, recall, precision, ndcg = evaluation(
                 cfg, params, data.val_graph, data.val_set, k_eval,
-                max_deg_val, eval_embeddings, prop_graph=val_prop,
+                max_deg_val, eval_embeddings,
+                prop_graph=eval_prop("val", data.val_graph),
                 mesh=mesh, num_valid_items=data.num_items,
             )
             log_fn(
@@ -606,7 +614,8 @@ def train(
     key, k_test = jax.random.split(key)
     test_loss, test_recall, test_precision, test_ndcg = evaluation(
         cfg, params, data.test_graph, data.test_set, k_test,
-        max_deg_test, eval_embeddings, prop_graph=test_prop,
+        max_deg_test, eval_embeddings,
+        prop_graph=eval_prop("test", data.test_graph),
         mesh=mesh, num_valid_items=data.num_items,
     )
     log_fn(

@@ -93,6 +93,34 @@ class TestBlockedSegmentSum:
         # magnitude (absolute, not relative — see _combine_sorted docstring)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
+    def test_sorted_combine_windowed_gather(self, monkeypatch):
+        """Windowed boundary gather (fast-zone cumsum windows) must match
+        the plain ends-gather combine and the scatter reference."""
+        import laplace_gnn_recommendation_tpu.ops.spmm_blocked as sb
+
+        monkeypatch.setattr(sb, "COMBINE_WINDOW", 64)
+        eu, ei = random_bipartite_edges(
+            seed=5, num_users=300, num_items=90, avg_degree=7
+        )
+        order = np.lexsort((ei, eu))
+        du = np.bincount(eu, minlength=300)
+        di = np.bincount(ei, minlength=90)
+        w = (1.0 / np.sqrt(np.maximum(du[eu] * di[ei], 1.0))).astype(np.float32)
+        rng = np.random.default_rng(4)
+        tab = jnp.asarray(rng.normal(size=(90, 8)).astype(np.float32))
+        kw = dict(edges_per_chunk=16, rows_per_chunk=4, chunk_bucket=8)
+        p_scat = BlockedSegmentPlan.from_edges(
+            eu[order], ei[order], w[order], 300, **kw
+        )
+        p_sort = BlockedSegmentPlan.from_edges(
+            eu[order], ei[order], w[order], 300, sorted_combine=True, **kw
+        )
+        assert p_sort.combine_idx is not None  # windowing really engaged
+        assert sum(p_sort.combine_counts) == 300
+        a = sb.blocked_segment_sum(p_scat, tab)
+        b = sb.blocked_segment_sum(p_sort, tab)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
     def test_sorted_combine_scan_path(self, monkeypatch):
         """Sorted combine through the big-graph lax.scan path (runtime pad
         chunks appended after the bucketed plan must stay inert)."""
