@@ -111,9 +111,33 @@ def scatter_only(row_ids, partials, num_rows):
     )
 
 
+def _load_edges():
+    """Reuse whichever H&M-shaped edge cache a bench already built."""
+    import glob
+    import os
+
+    for pat in (
+        f"/tmp/hm_clustered_{NUM_USERS}_{NUM_ITEMS}_*.npz",
+        f"/tmp/hm_edges_{NUM_USERS}_{NUM_ITEMS}.npz",
+    ):
+        hits = sorted(glob.glob(pat))
+        if hits:
+            z = np.load(hits[0])
+            return z["eu"], z["ei"]
+    from laplace_gnn_recommendation_tpu.data.synthetic import (
+        random_bipartite_edges,
+    )
+
+    eu, ei = random_bipartite_edges(
+        seed=0, num_users=NUM_USERS, num_items=NUM_ITEMS, avg_degree=23.0,
+        popularity_alpha=0.8,
+    )
+    np.savez(f"/tmp/hm_edges_{NUM_USERS}_{NUM_ITEMS}.npz", eu=eu, ei=ei)
+    return eu, ei
+
+
 def main():
-    z = np.load(f"/tmp/hm_edges_{NUM_USERS}_{NUM_ITEMS}.npz")
-    eu, ei = z["eu"], z["ei"]
+    eu, ei = _load_edges()
     # dedup like create_lightgcn_data would; use all edges as "train"
     t0 = time.perf_counter()
     bg = BlockedGraph.from_host_edges(eu, ei, NUM_USERS, NUM_ITEMS)
@@ -167,8 +191,41 @@ def main():
 
     f_vg = jax.jit(lambda u, i, b: jax.value_and_grad(loss, argnums=(0, 1))(u, i, b))
     dt_vg = timed("value_and_grad(K-loop + toy head)", f_vg, u32, i32, bg)
-    print(f"\nfwd gathers {e*K*2/1e6:.0f}M -> {e*K*2/dt_f/1e6:.0f}M rows/s")
-    print(f"fwd+bwd gathers {e*K*4/1e6:.0f}M -> {e*K*4/dt_vg/1e6:.0f}M rows/s")
+    fwd_rate = e * K * 2 / dt_f
+    fb_rate = e * K * 4 / dt_vg
+    gather_ceiling = e / dt_g  # rows/s, pure gather+multiply of this pattern
+    print(f"\nfwd gathers {e*K*2/1e6:.0f}M -> {fwd_rate/1e6:.0f}M rows/s")
+    print(f"fwd+bwd gathers {e*K*4/1e6:.0f}M -> {fb_rate/1e6:.0f}M rows/s")
+    print(f"gather-only ceiling {gather_ceiling/1e6:.0f}M rows/s")
+    print(f"fraction of gather roofline: fwd {fwd_rate/gather_ceiling:.3f}  "
+          f"fwd+bwd {fb_rate/gather_ceiling:.3f}")
+
+    # Merge the at-scale fraction into ROOFLINE.json (VERDICT r2 item 2):
+    # numerator = gathers/s sustained by the full fwd+bwd K-loop step at H&M
+    # shape; denominator = the measured gather+multiply-only rate of the SAME
+    # access pattern on the same chip — the step's own speed-of-light.
+    import json
+    import os
+
+    roofline = {}
+    if os.path.exists("ROOFLINE.json"):
+        with open("ROOFLINE.json") as f:
+            roofline = json.load(f)
+    roofline["fraction_of_gather_roofline_hm"] = {
+        "gather_only_rows_per_s": round(gather_ceiling, 1),
+        "fwd_Kloop_rows_per_s": round(fwd_rate, 1),
+        "fwd_bwd_Kloop_rows_per_s": round(fb_rate, 1),
+        "fraction_fwd": round(fwd_rate / gather_ceiling, 4),
+        "fraction_fwd_bwd": round(fb_rate / gather_ceiling, 4),
+        "note": (
+            "numerator counts one row-gather per edge per direction per "
+            "K-iteration (x2 for backward); denominator is the measured "
+            "gather+multiply-only rate of the identical chunked access "
+            "pattern (seg_gather_only) at H&M shape on this chip"
+        ),
+    }
+    with open("ROOFLINE.json", "w") as f:
+        json.dump(roofline, f, indent=1)
 
 
 if __name__ == "__main__":
