@@ -173,6 +173,12 @@ class LightGCNConfig:
     reference behavior. At H&M scale (1.37M users) a full metric sweep per
     eval is minutes; production runs cap it and keep the full sweep for the
     final test pass."""
+    select_best_val: bool = False
+    """Model selection: report test metrics (and export artifacts) from the
+    parameters with the best val recall seen at any eval point, instead of
+    the last iterate (the reference's behavior, kept as the default). The
+    last iterate gets a final val eval before selection so a late
+    improvement is never discarded."""
 
     def print(self) -> None:
         print("\nConfiguration is:")

@@ -147,7 +147,8 @@ def preprocess(
         if flag:
             path = os.path.join(raw_dir, fname)
             z = np.load(path)
-            mat = np.zeros((len(a_fwd), 512), np.float32)
+            dim = int(z[z.files[0]].shape[-1]) if z.files else 512
+            mat = np.zeros((len(a_fwd), dim), np.float32)
             for new_id, raw in a_fwd.items():
                 key = str(raw)
                 if key in z.files:

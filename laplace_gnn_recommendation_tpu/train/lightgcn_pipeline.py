@@ -593,6 +593,7 @@ def train(
 
     train_loss = jnp.zeros(())
     recall = precision = 0.0
+    best_recall, best_params, last_evaled = -1.0, None, -1
     for it in range(cfg.epochs):
         key, k_step = jax.random.split(key)
         params, opt_state, train_loss = step_fn(params, opt_state, k_step)
@@ -605,11 +606,37 @@ def train(
                 prop_graph=eval_prop("val", data.val_graph),
                 mesh=mesh, num_valid_items=data.num_items,
             )
+            last_evaled = it
+            if recall > best_recall:
+                # step_fn donates the param buffers, so a live snapshot
+                # needs a real device copy (sharding-preserving)
+                snap = jax.tree.map(jnp.copy, params)
+                best_recall, best_params = recall, (snap, precision)
             log_fn(
                 f"[Iter {it}/{cfg.epochs}] train_loss: {float(train_loss):.5f}, "
                 f"val_loss: {val_loss:.5f}, val_recall@{cfg.k}: {recall:.6f}, "
                 f"val_precision@{cfg.k}: {precision:.6f}, val_ndcg@{cfg.k}: {ndcg:.6f}"
             )
+
+    if cfg.select_best_val:
+        if last_evaled != cfg.epochs - 1:  # last iterate never scored
+            key, k_eval = jax.random.split(key)
+            _, recall, precision, _ = evaluation(
+                cfg, params, data.val_graph, data.val_set, k_eval,
+                max_deg_val, eval_embeddings,
+                prop_graph=eval_prop("val", data.val_graph),
+                mesh=mesh, num_valid_items=data.num_items,
+            )
+            if recall > best_recall:
+                best_recall, best_params = recall, (params, precision)
+        if best_params is not None and best_params[0] is not params:
+            log_fn(
+                f"| select_best_val: using checkpoint with val recall "
+                f"{best_recall:.6f} (final iterate: {recall:.6f})"
+            )
+        if best_params is not None:
+            params, precision = best_params[0], best_params[1]
+            recall = best_recall
 
     key, k_test = jax.random.split(key)
     test_loss, test_recall, test_precision, test_ndcg = evaluation(
