@@ -96,15 +96,17 @@ def make_cfg(**kw):
 
     # Schedule SHAPE mirrors the reference default (×0.95 staircase, ~100
     # decays over the run — config.py:139's 10k iters / decay-every-100)
-    # compressed into the CONV_STEPS budget; λ=1e-4 is the canonical
-    # LightGCN regularisation. Model selection on val recall: the first
-    # convergence attempt (lr 5e-3, λ=1e-6, 5 decays) peaked at step ~100
-    # then degraded — annealing + reg + best-val fixes all three.
+    # compressed into the CONV_STEPS budget (67 decays → final lr ×0.03).
+    # λ stays 1e-6: bpr_loss MEAN-normalises the pairwise term, so paper-
+    # units λ_eff ≈ λ·B — at batch 32k, λ=1e-4 is λ_eff≈3 and pins recall
+    # to the random floor (measured), while 1e-6 learns. The measured
+    # failure mode at constant lr (peak at ~step 100, then steady decay of
+    # val recall) is handled by the anneal + best-val model selection.
     base = dict(
         hidden_layer_size=DIM, num_iterations=K, batch_size=BATCH,
         epochs=CONV_STEPS, eval_every=EVAL_EVERY,
-        lr_decay_every=max(1, CONV_STEPS // 40),
-        learning_rate=5e-3, eval_user_cap=EVAL_CAP, Lambda=1e-4,
+        lr_decay_every=max(1, CONV_STEPS // 67),
+        learning_rate=5e-3, eval_user_cap=EVAL_CAP, Lambda=1e-6,
         select_best_val=True,
         propagation="auto", dense_bytes_budget=4 << 30,  # 288 GB → blocked
     )
@@ -135,36 +137,20 @@ def popularity_recall(cfg, data):
     return float(r)
 
 
-def bench_train(data):
-    """Public train() convergence run, then an exact step-rate window."""
+def bench_steprate(data):
+    """Exact step-rate window (no eval) on throwaway params. Runs BEFORE
+    the convergence tier so its propagation operand + optimizer state are
+    freed before train() builds its own (the peak-HBM probe reports the
+    training run, not both resident at once)."""
     import jax
 
     from laplace_gnn_recommendation_tpu.models.lightgcn import init_lightgcn
     from laplace_gnn_recommendation_tpu.train.lightgcn_pipeline import (
         make_train_step,
         select_propagation,
-        train,
     )
 
     cfg = make_cfg()
-    log_lines = []
-
-    def log_fn(msg):
-        print(msg, flush=True)
-        log_lines.append(str(msg))
-
-    t0 = time.perf_counter()
-    stats = train(cfg, data, export=False, eval_embeddings="e0", log_fn=log_fn)
-    wall = time.perf_counter() - t0
-
-    # loss curve from the eval-step log lines
-    curve = []
-    for line in log_lines:
-        m = re.search(r"\[Iter (\d+)/\d+\] train_loss: ([\d.eE+-]+)", line)
-        if m:
-            curve.append({"step": int(m.group(1)), "loss": float(m.group(2))})
-
-    # exact step rate (no eval in the window)
     g = data.train_graph
     max_deg = int(np.asarray(g.user_deg).max())
     params = init_lightgcn(jax.random.PRNGKey(0), NUM_USERS, NUM_ITEMS, DIM)
@@ -180,7 +166,33 @@ def bench_train(data):
     float(loss)
     dt = time.perf_counter() - t0
     edges_per_step = g.num_edges * K * 2
-    return stats, wall, curve, edges_per_step * TPU_STEPS / dt, type(prop).__name__, params, prop, cfg
+    return edges_per_step * TPU_STEPS / dt, type(prop).__name__
+
+
+def bench_train(data):
+    """Public train() convergence run; returns the TRAINED (best-val
+    selected) params via Stats.params for the eval sweep + serving tiers."""
+    from laplace_gnn_recommendation_tpu.train.lightgcn_pipeline import train
+
+    cfg = make_cfg(return_params=True)
+    log_lines = []
+
+    def log_fn(msg):
+        print(msg, flush=True)
+        log_lines.append(str(msg))
+
+    t0 = time.perf_counter()
+    stats = train(cfg, data, export=False, eval_embeddings="e0", log_fn=log_fn)
+    wall = time.perf_counter() - t0
+    assert stats.params is not None
+
+    # loss curve from the eval-step log lines
+    curve = []
+    for line in log_lines:
+        m = re.search(r"\[Iter (\d+)/\d+\] train_loss: ([\d.eE+-]+)", line)
+        if m:
+            curve.append({"step": int(m.group(1)), "loss": float(m.group(2))})
+    return stats, wall, curve, cfg
 
 
 def full_eval_sweep(cfg, params, data):
@@ -208,13 +220,19 @@ def full_eval_sweep(cfg, params, data):
     }
 
 
-def bench_serving():
-    """Retrieval users/s over the 105k catalog (shape-bound)."""
+def bench_serving(params=None):
+    """Retrieval users/s over the 105k catalog. Serves the TRAINED tables
+    when given (same E⁰ space the convergence tier evaluates in); random
+    same-shape tables otherwise (throughput is shape-bound either way)."""
     from laplace_gnn_recommendation_tpu.serving import RetrievalServer
 
     rng = np.random.default_rng(0)
-    user_emb = rng.normal(size=(NUM_USERS, DIM)).astype(np.float32)
-    item_emb = rng.normal(size=(NUM_ITEMS, DIM)).astype(np.float32)
+    if params is not None:
+        user_emb = np.asarray(params.user_emb, np.float32)[:NUM_USERS]
+        item_emb = np.asarray(params.item_emb, np.float32)[:NUM_ITEMS]
+    else:
+        user_emb = rng.normal(size=(NUM_USERS, DIM)).astype(np.float32)
+        item_emb = rng.normal(size=(NUM_ITEMS, DIM)).astype(np.float32)
     server = RetrievalServer(user_emb, item_emb, k=12, batch_size=256)
     server.recommend(np.arange(256))  # compile
     n = 4096
@@ -249,11 +267,12 @@ def main():
 
     data, eu, ei, build_s = build_data()
     train_edges = data.train_graph.num_edges
-    stats, wall, curve, tpu_eps, prop_kind, params, prop, cfg = bench_train(data)
+    tpu_eps, prop_kind = bench_steprate(data)
+    stats, wall, curve, cfg = bench_train(data)
     hbm, hbm_kind, hbm_err = peak_hbm_bytes()
     pop_recall = popularity_recall(cfg, data)
-    sweep = full_eval_sweep(cfg, params, data)
-    users_per_s = bench_serving()
+    sweep = full_eval_sweep(cfg, stats.params, data)
+    users_per_s = bench_serving(stats.params)
 
     cpu_eps = None
     if args.torch_steps > 0:

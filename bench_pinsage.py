@@ -32,7 +32,7 @@ HIDDEN = 64
 def build():
     import os
 
-    cache = f"/tmp/hm_edges_{NUM_USERS}_{NUM_ITEMS}.npz"
+    cache = f"/tmp/hm_edges_pl_{NUM_USERS}_{NUM_ITEMS}_{AVG_DEG}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         eu, ei = z["eu"], z["ei"]
@@ -41,6 +41,7 @@ def build():
             seed=0, num_users=NUM_USERS, num_items=NUM_ITEMS,
             avg_degree=AVG_DEG, popularity_alpha=0.8,
         )
+        np.savez(cache, eu=eu, ei=ei)
     return PinSAGEData(
         num_users=NUM_USERS, num_items=NUM_ITEMS,
         user_csr=HostCSR.from_edges(eu, ei, NUM_USERS, NUM_ITEMS),

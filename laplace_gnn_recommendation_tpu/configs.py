@@ -179,6 +179,11 @@ class LightGCNConfig:
     the last iterate (the reference's behavior, kept as the default). The
     last iterate gets a final val eval before selection so a late
     improvement is never discarded."""
+    return_params: bool = False
+    """Attach the final (post-selection) parameters to the returned
+    ``Stats.params`` so callers can score/serve the trained model without
+    re-loading exported artifacts (off by default: keeps device arrays from
+    outliving ``train()`` in ordinary runs)."""
 
     def print(self) -> None:
         print("\nConfiguration is:")

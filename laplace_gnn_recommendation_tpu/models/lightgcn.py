@@ -112,6 +112,12 @@ def bpr_loss(
     sign quirk at ``utils/metrics_lightgcn.py:43`` (its loss goes *negative*
     by design; see the commented floor ``tests/test_acceptance_lightgcn.py:53``).
     Kept so reference loss curves can be compared one-to-one.
+
+    λ SCALING CAVEAT (both variants, matching the reference): the pairwise
+    term is a batch MEAN but the regulariser is a batch SUM, so the
+    effective paper-units λ grows linearly with batch size (λ_eff ≈ λ·B).
+    Retune λ when changing ``batch_size`` — at B=32k, λ=1e-4 is λ_eff≈3 and
+    stops BPR learning outright (measured at H&M scale), while λ=1e-6 works.
     """
     reg = lambda_val * (
         jnp.sum(users_emb_0 ** 2)

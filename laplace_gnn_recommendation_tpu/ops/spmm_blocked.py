@@ -258,6 +258,22 @@ class BlockedSegmentPlan:
                 dst_sorted, src, w, num_rows, edges_per_chunk,
                 rows_per_chunk, chunk_bucket, sorted_combine=sorted_combine,
             )
+        if sorted_combine:
+            # Both sides large (≥2^19 dst rows AND >2^18 src rows): the
+            # combine falls back to scatter because row order restarts per
+            # src slice. On such graphs the scatter into the big dst table
+            # is the measured binding cost (~290 ms/1.37M rows vs 65 ms
+            # sorted) — a per-slice cumsum-diff combine is the known fix if
+            # this shape becomes a production path. H&M's directions are
+            # asymmetric, so neither hits this.
+            import warnings
+
+            warnings.warn(
+                f"src-sliced plan with a large ({num_rows}-row) output "
+                "combines by scatter, not sorted cumsum-diff; expect the "
+                "segment-sum to be scatter-bound at this shape",
+                stacklevel=3,
+            )
         src = np.asarray(src)
         dst_sorted = np.asarray(dst_sorted)
         w = np.asarray(w)

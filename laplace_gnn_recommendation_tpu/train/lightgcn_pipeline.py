@@ -665,4 +665,5 @@ def train(
         recall_test=test_recall,
         precision_val=precision,
         precision_test=test_precision,
+        params=params if getattr(cfg, "return_params", False) else None,
     )

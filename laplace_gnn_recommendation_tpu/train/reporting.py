@@ -28,6 +28,11 @@ class Stats:
     precision_val: float
     precision_test: float
     truncations: Dict[str, int] = field(default_factory=dict)
+    params: Optional[Any] = field(default=None, repr=False, compare=False)
+    """The run's final (post-model-selection) parameters, populated only
+    when the pipeline's config sets ``return_params`` — benches and callers
+    that score or serve the trained model read them from here instead of
+    re-loading exported artifacts. Device arrays; never serialized."""
 
 
 @dataclass

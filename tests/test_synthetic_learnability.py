@@ -124,8 +124,17 @@ class TestStructureLearningEncDec:
         # popularity baseline in the SAME protocol: rank each user's
         # candidate slots by global train popularity instead of the model
         _, _, test_s = create_samplers(cfg, data, seed=cfg.seed)
-        tr_eu, tr_ei = eu, ei  # train split is a prefix mask of these
-        pop = np.bincount(np.asarray(ei), minlength=self.N_I).astype(np.float64)
+        # popularity from the TRAIN split only (leave-last-2 per user, same
+        # masks create_link_pred_data used) — counting val/test edges would
+        # leak the eval answer into the baseline
+        from laplace_gnn_recommendation_tpu.data.splitting import (
+            train_test_split_by_time,
+        )
+
+        tr_mask, _, _ = train_test_split_by_time(eu)
+        pop = np.bincount(
+            np.asarray(ei)[tr_mask], minlength=self.N_I
+        ).astype(np.float64)
         recalls = []
         for batch in test_s.epoch_batches(shuffle=False):
             cand = np.asarray(batch.label_item_global)
