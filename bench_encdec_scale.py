@@ -73,6 +73,21 @@ def main():
     sampler_bps = n_s / (time.perf_counter() - t0)
     edges_per_batch = edges / n_s
 
+    # --- parallel feed rate (num_workers=2 threads, this host has 2 cores) --
+    from laplace_gnn_recommendation_tpu.data.sampler import (
+        parallel_epoch_batches,
+    )
+
+    par_it = parallel_epoch_batches(train_s, num_workers=2, shuffle=True)
+    next(par_it)  # warm worker clones
+    t0 = time.perf_counter()
+    n_p = 0
+    for b in par_it:
+        n_p += 1
+        if n_p == n_s:
+            break
+    par_bps = n_p / max(time.perf_counter() - t0, 1e-9)
+
     # --- device-step-only rate (one batch, repeated) ------------------------
     b0 = train_s.sample_batch(rng.integers(0, NUM_USERS, BATCH))
     key, k0 = jax.random.split(key)
@@ -133,8 +148,10 @@ def main():
                 "data_build_s": round(build_s, 1),
                 "subgraph_edges_per_sec": round(train_bps * edges_per_batch, 1),
                 "sampler_only_batches_per_sec": round(sampler_bps, 2),
+                "sampler_2worker_batches_per_sec": round(par_bps, 2),
                 "device_step_only_batches_per_sec": round(step_bps, 2),
                 "dp_saturation_streams": round(sampler_bps / step_bps, 2),
+                "dp_saturation_streams_2workers": round(par_bps / step_bps, 2),
                 "eval_users_per_sec": round(eval_ups, 1),
             }
         )

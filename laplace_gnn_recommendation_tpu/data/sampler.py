@@ -626,11 +626,10 @@ class SubgraphSampler:
             seeds, seed_slots, gt_items, gt_count,
         )
 
-    def epoch_batches(self, shuffle: bool = True):
-        """Iterate the users in batches of ``cfg.batch_size`` (last partial
-        batch is padded by repeating the final user, masked out via gt_count
-        =0 semantics not needed — labels stay valid; mirrors DataLoader
-        drop_last=False)."""
+    def epoch_user_chunks(self, shuffle: bool = True):
+        """The epoch's (chunk, valid_rows) schedule without assembling
+        batches — the shared work-list of both the serial and the parallel
+        iterators."""
         users = np.arange(self.num_users)
         # skip users with no edges in this split (reference datasets only
         # index users present in the adjacency dict)
@@ -638,9 +637,93 @@ class SubgraphSampler:
         if shuffle and self.randomization:
             self.rng.shuffle(users)
         b = self.cfg.batch_size
+        out = []
         for s in range(0, len(users), b):
             chunk = users[s : s + b]
             valid = len(chunk)
             if valid < b:
                 chunk = np.concatenate([chunk, np.full(b - valid, chunk[-1])])
+            out.append((chunk, valid))
+        return out
+
+    def epoch_batches(self, shuffle: bool = True):
+        """Iterate the users in batches of ``cfg.batch_size`` (last partial
+        batch is padded by repeating the final user, masked out via gt_count
+        =0 semantics not needed — labels stay valid; mirrors DataLoader
+        drop_last=False)."""
+        for chunk, valid in self.epoch_user_chunks(shuffle):
             yield self.sample_batch(chunk, valid_rows=valid)
+
+    def clone(self, seed: int) -> "SubgraphSampler":
+        """A worker-owned view for parallel sampling: shares the (read-only)
+        CSRs, matchers, config and budgets; owns its RNG and truncation
+        counters. O(1) — no adjacency copies."""
+        s = SubgraphSampler(
+            self.cfg, self.users, self.items, self.train,
+            matchers=self.matchers or None,
+            randomization=self.randomization, seed=seed,
+            budgets=self.budgets, use_native=self._native is not None,
+        )
+        return s
+
+
+def parallel_epoch_batches(
+    sampler: SubgraphSampler,
+    num_workers: int = 2,
+    shuffle: bool = True,
+    buffer_per_worker: int = 2,
+):
+    """Multi-worker epoch iterator — the reference DataLoader's
+    ``num_workers`` (``config.py:41``, ``data/data_loader.py:48-50``) as
+    threads instead of fork+pickle: the native assembly path releases the
+    GIL inside its C++ calls, so W workers genuinely overlap on W cores.
+
+    Worker ``w`` owns ``sampler.clone(seed)`` and assembles every W-th batch
+    of the epoch schedule; batches yield in epoch order. Negative draws and
+    truncation counters come from the workers' own streams, so a parallel
+    epoch is statistically equivalent to — not bitwise identical with — the
+    serial one. Worker truncations are merged into ``sampler.truncations``
+    as the epoch drains (the telemetry stays one counter)."""
+    import queue as _queue
+    import threading as _threading
+
+    chunks = sampler.epoch_user_chunks(shuffle)
+    n = len(chunks)
+    if num_workers <= 1 or n <= 1:
+        for chunk, valid in chunks:
+            yield sampler.sample_batch(chunk, valid_rows=valid)
+        return
+
+    num_workers = min(num_workers, n)
+    out_q: "_queue.Queue" = _queue.Queue(
+        maxsize=max(1, buffer_per_worker) * num_workers
+    )
+    # fan the schedule out round-robin; reorder by index on the way out
+    base = int(sampler.rng.integers(0, 2**31 - 1))
+    workers = [sampler.clone(base + w) for w in range(num_workers)]
+
+    def run(w: int):
+        try:
+            for i in range(w, n, num_workers):
+                chunk, valid = chunks[i]
+                out_q.put((i, workers[w].sample_batch(chunk, valid_rows=valid)))
+        except BaseException as e:  # propagate to the consumer
+            out_q.put((-1, e))
+
+    threads = [
+        _threading.Thread(target=run, args=(w,), daemon=True)
+        for w in range(num_workers)
+    ]
+    for t in threads:
+        t.start()
+    pending: dict = {}
+    for want in range(n):
+        while want not in pending:
+            i, item = out_q.get()
+            if i < 0:
+                raise item
+            pending[i] = item
+        yield pending.pop(want)
+    for w in workers:
+        for k, v in w.truncations.items():
+            sampler.truncations[k] = sampler.truncations.get(k, 0) + v

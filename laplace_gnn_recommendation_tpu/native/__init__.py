@@ -147,13 +147,18 @@ def run_sanitizer_check(mode: str = "asan", timeout: float = 600.0):
     return run.returncode == 0, out
 
 # Persistent slot/stamp scratch for assemble_train_batch, keyed by graph
-# size. Generation stamping lets the C side skip the O(V) per-call clear:
-# a slot entry is valid only when its stamp equals the call's generation.
+# size AND calling thread. Generation stamping lets the C side skip the
+# O(V) per-call clear: a slot entry is valid only when its stamp equals the
+# call's generation. The thread key makes concurrent sampler workers
+# (``sampler.parallel_epoch_batches``) race-free: each worker stamps its
+# own arrays (~24 bytes/node — 35 MB/worker at H&M scale).
 _ASM_SCRATCH: dict = {}
 
 
 def _asm_scratch(num_users: int, num_items: int) -> dict:
-    key = (num_users, num_items)
+    import threading
+
+    key = (num_users, num_items, threading.get_ident())
     sc = _ASM_SCRATCH.get(key)
     if sc is None:
         sc = dict(

@@ -245,9 +245,21 @@ def run_pipeline(
 
     for epoch in range(start_epoch, cfg.epochs):
         losses = []
-        for batch in prefetch(
-            train_s.epoch_batches(shuffle=True), buffer_size=max(cfg.num_workers, 1)
-        ):
+        if cfg.num_workers > 1:
+            # the reference DataLoader's num_workers as GIL-releasing
+            # sampler threads (sampler.parallel_epoch_batches); prefetch
+            # still overlaps the device step with the reordered stream
+            from ..data.sampler import parallel_epoch_batches
+
+            feed = prefetch(
+                parallel_epoch_batches(
+                    train_s, num_workers=cfg.num_workers, shuffle=True
+                ),
+                buffer_size=cfg.num_workers,
+            )
+        else:
+            feed = prefetch(train_s.epoch_batches(shuffle=True), buffer_size=1)
+        for batch in feed:
             key, k_step = jax.random.split(key)
             params, bn_state, opt_state, loss = step(
                 params, bn_state, opt_state, batch, k_step
