@@ -594,11 +594,35 @@ def train(
     train_loss = jnp.zeros(())
     recall = precision = 0.0
     best_recall, best_params, last_evaled = -1.0, None, -1
+    last_good = None  # (params, opt_state) at the last finite eval point
     for it in range(cfg.epochs):
         key, k_step = jax.random.split(key)
         params, opt_state, train_loss = step_fn(params, opt_state, k_step)
 
         if it % cfg.eval_every == 0:
+            # failure detection (SURVEY §5; the reference's runs die):
+            # a non-finite loss rolls back to the last finite eval point
+            # instead of letting NaNs poison the tables; the step key
+            # stream has already advanced, so the retried steps resample
+            if not np.isfinite(float(train_loss)):
+                if last_good is None:
+                    raise FloatingPointError(
+                        f"non-finite loss {float(train_loss)} at iter {it} "
+                        "before any finite eval point"
+                    )
+                # hand out COPIES: step_fn donates its inputs, and the
+                # snapshot must survive repeated rollbacks
+                params = jax.tree.map(jnp.copy, last_good[0])
+                opt_state = jax.tree.map(jnp.copy, last_good[1])
+                log_fn(
+                    f"| non-finite loss at iter {it}: rolled back to the "
+                    "last finite eval point"
+                )
+                continue
+            last_good = (
+                jax.tree.map(jnp.copy, params),
+                jax.tree.map(jnp.copy, opt_state),
+            )
             key, k_eval = jax.random.split(key)
             val_loss, recall, precision, ndcg = evaluation(
                 cfg, params, data.val_graph, data.val_set, k_eval,

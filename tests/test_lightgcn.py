@@ -162,3 +162,31 @@ class TestShardedTraining:
         np.testing.assert_allclose(
             np.asarray(p1.user_emb), np.asarray(p2.user_emb), rtol=1e-5, atol=1e-6
         )
+
+
+class TestFailureRecovery:
+    def test_nan_rollback(self, tiny_data):
+        """A diverging run (absurd lr) must roll back to the last finite
+        eval point instead of crashing or poisoning the tables (SURVEY §5
+        failure detection — the reference's runs just die)."""
+        logs = []
+        cfg = LightGCNConfig(
+            epochs=8, eval_every=2, hidden_layer_size=8, num_iterations=2,
+            batch_size=16, learning_rate=1e18, num_recommendations=8,
+        )
+        stats = lightgcn_pipeline.train(
+            cfg, tiny_data, export=False, log_fn=lambda m: logs.append(str(m))
+        )
+        assert any("rolled back" in m for m in logs), logs[-4:]
+
+    def test_best_val_selection_keeps_peak(self, tiny_data):
+        """select_best_val reports test metrics from the best-val iterate."""
+        cfg = LightGCNConfig(
+            epochs=6, eval_every=2, hidden_layer_size=8, num_iterations=2,
+            batch_size=16, num_recommendations=8, select_best_val=True,
+            return_params=True,
+        )
+        stats = lightgcn_pipeline.train(cfg, tiny_data, export=False,
+                                        log_fn=lambda *_: None)
+        assert stats.params is not None
+        assert np.isfinite(stats.loss)
