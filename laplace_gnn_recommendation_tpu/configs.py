@@ -184,6 +184,17 @@ class LightGCNConfig:
     ``Stats.params`` so callers can score/serve the trained model without
     re-loading exported artifacts (off by default: keeps device arrays from
     outliving ``train()`` in ordinary runs)."""
+    checkpoint_every: int = 0
+    """Write a (params, opt_state) checkpoint every N iterations into
+    ``artifact_dir/lightgcn_ckpt`` (orbax when the mesh's model axis is >1,
+    flat npz otherwise — see ``train/checkpoint.py``). 0 disables. The
+    reference's 10k-iteration default runs for hours with no mid-run
+    persistence (``run_pipeline_lightgcn.py`` saves only final tables)."""
+    resume: bool = False
+    """Resume from the newest checkpoint in ``artifact_dir/lightgcn_ckpt``:
+    restores params + optimizer (schedule step included) and continues from
+    the checkpoint's iteration; the sampling key stream is re-seeded by
+    fold-in, so resumed draws are decorrelated, not replayed."""
 
     def print(self) -> None:
         print("\nConfiguration is:")

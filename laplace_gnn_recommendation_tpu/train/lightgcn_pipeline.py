@@ -591,13 +591,47 @@ def train(
     )
     opt_state = tx.init(params)
 
+    # mid-run persistence + resume (SURVEY §5; the reference's 10k-iteration
+    # runs have none — run_pipeline_lightgcn.py saves only final tables)
+    ckpt_dir = os.path.join(cfg.artifact_dir, "lightgcn_ckpt")
+    start_it = 0
+    if cfg.resume:
+        from .checkpoint import load_latest
+
+        template = {"params": params, "opt_state": opt_state}
+        state, ver = load_latest(ckpt_dir, template)
+        if ver is not None:
+            def _replace(x, t):
+                sh = getattr(t, "sharding", None)
+                if sh is not None and len(sh.device_set) > 1:
+                    return jax.device_put(jnp.asarray(x), sh)
+                if hasattr(x, "dtype"):
+                    return jnp.asarray(np.asarray(x))
+                return x
+
+            state = jax.tree.map(_replace, state, template)
+            params, opt_state = state["params"], state["opt_state"]
+            start_it = ver + 1
+            # decorrelated (not replayed) sampling stream after resume
+            key = jax.random.fold_in(key, start_it)
+            log_fn(f"| Resuming from checkpoint (iteration {start_it})...")
+
     train_loss = jnp.zeros(())
     recall = precision = 0.0
     best_recall, best_params, last_evaled = -1.0, None, -1
     last_good = None  # (params, opt_state) at the last finite eval point
-    for it in range(cfg.epochs):
+    for it in range(start_it, cfg.epochs):
         key, k_step = jax.random.split(key)
         params, opt_state, train_loss = step_fn(params, opt_state, k_step)
+
+        if cfg.checkpoint_every and it % cfg.checkpoint_every == 0 and it > start_it:
+            from .checkpoint import save_state
+
+            save_state(
+                os.path.join(ckpt_dir, f"model_{it}"),
+                {"params": params, "opt_state": opt_state},
+                sharded=parts > 1,
+            )
 
         if it % cfg.eval_every == 0:
             # failure detection (SURVEY §5; the reference's runs die):

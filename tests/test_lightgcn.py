@@ -190,3 +190,27 @@ class TestFailureRecovery:
                                         log_fn=lambda *_: None)
         assert stats.params is not None
         assert np.isfinite(stats.loss)
+
+    def test_checkpoint_resume(self, tiny_data, tmp_path):
+        """Mid-run persistence + resume: a second train() picks up from the
+        newest checkpoint (params + optimizer schedule step) instead of
+        starting over."""
+        cfg = LightGCNConfig(
+            epochs=6, eval_every=2, hidden_layer_size=8, num_iterations=2,
+            batch_size=16, num_recommendations=8,
+            checkpoint_every=2, artifact_dir=str(tmp_path),
+        )
+        lightgcn_pipeline.train(cfg, tiny_data, export=False,
+                                log_fn=lambda *_: None)
+        import os
+        names = os.listdir(os.path.join(str(tmp_path), "lightgcn_ckpt"))
+        assert any(n.startswith("model_4") for n in names), names
+
+        logs = []
+        import dataclasses
+        cfg2 = dataclasses.replace(cfg, epochs=8, resume=True)
+        stats = lightgcn_pipeline.train(
+            cfg2, tiny_data, export=False, log_fn=lambda m: logs.append(str(m))
+        )
+        assert any("Resuming from checkpoint (iteration 5)" in m for m in logs), logs[:6]
+        assert np.isfinite(stats.loss)
