@@ -66,10 +66,12 @@ def bench_tpu(eu, ei, num_users, num_items):
     params, opt_state, loss = step(params, opt_state, keys[1])
     loss.block_until_ready()
 
-    # best of 3 measurement windows — the remote-device relay occasionally
+    # several measurement windows — the remote-device relay occasionally
     # stalls for reasons unrelated to the program; min-of-windows reports
-    # the machine, not the tunnel weather
-    best_dt = float("inf")
+    # the machine, not the tunnel weather, and the full (min/median/max)
+    # band is reported so a regression is distinguishable from relay
+    # weather in the round artifacts (VERDICT r3 weak #6)
+    window_dts = []
     ki = 2
     for _ in range(3):
         t0 = time.perf_counter()
@@ -79,9 +81,15 @@ def bench_tpu(eu, ei, num_users, num_items):
         float(loss)  # scalar D2H: a true completion barrier on the relay
         # (block_until_ready alone is not one for Pallas outputs, and is
         # kept honest here the same way — see bench_kernels._sync)
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        window_dts.append(time.perf_counter() - t0)
     edges_per_step = g.num_edges * K * 2  # both directions, forward pass
-    return edges_per_step * TPU_STEPS / best_dt, float(loss)
+    eps = [edges_per_step * TPU_STEPS / dt for dt in sorted(window_dts)]
+    band = {
+        "min": round(eps[-1], 1),   # slowest window → lowest rate
+        "median": round(eps[len(eps) // 2], 1),
+        "max": round(eps[0], 1),
+    }
+    return eps[0], float(loss), band
 
 
 def bench_torch_cpu(eu, ei, num_users, num_items, steps=CPU_STEPS, batch=BATCH):
@@ -157,7 +165,7 @@ def bench_torch_cpu(eu, ei, num_users, num_items, steps=CPU_STEPS, batch=BATCH):
 
 def main():
     eu, ei, num_users, num_items = build_edges()
-    tpu_eps, final_loss = bench_tpu(eu, ei, num_users, num_items)
+    tpu_eps, final_loss, band = bench_tpu(eu, ei, num_users, num_items)
     try:
         cpu_eps = bench_torch_cpu(eu, ei, num_users, num_items)
         vs_baseline = tpu_eps / cpu_eps
@@ -171,6 +179,7 @@ def main():
                 "value": round(tpu_eps, 1),
                 "unit": "edges/s",
                 "vs_baseline": round(vs_baseline, 3),
+                "window_band": band,
             }
         )
     )

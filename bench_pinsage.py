@@ -11,6 +11,7 @@ A walk = one seed's ``walk_length`` item→user→item traversal; the sampler
 runs ``num_random_walks`` of them per seed per layer.
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -124,19 +125,20 @@ def main():
         s.sample_train_batch()
     batches_per_s = n_asm / (time.perf_counter() - t0)
     triples_per_s = bench_train_step(data, s)
-    print(
-        json.dumps(
-            {
-                "metric": "pinsage_walks_per_sec_full_catalog",
-                "value": round(fast, 1),
-                "unit": "walks/s",
-                "vs_baseline": round(fast / slow, 2),
-                "scale": {"num_users": NUM_USERS, "num_items": NUM_ITEMS},
-                "train_batches_per_sec_b512": round(batches_per_s, 2),
-                "train_triples_per_sec_b512": round(triples_per_s, 1),
-            }
-        )
-    )
+    result = {
+        "metric": "pinsage_walks_per_sec_full_catalog",
+        "value": round(fast, 1),
+        "unit": "walks/s",
+        "vs_baseline": round(fast / slow, 2),
+        "scale": {"num_users": NUM_USERS, "num_items": NUM_ITEMS},
+        "train_batches_per_sec_b512": round(batches_per_s, 2),
+        "train_triples_per_sec_b512": round(triples_per_s, 1),
+    }
+    print(json.dumps(result))
+    with open(
+        os.path.join(os.path.dirname(__file__), "BENCH_PINSAGE.json"), "w"
+    ) as f:
+        json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":

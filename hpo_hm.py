@@ -1,0 +1,132 @@
+"""H&M-scale LightGCN convergence HPO (VERDICT r3 task 4).
+
+Points the ``train/hpo.py`` machinery at the 1.37M-user clustered graph
+(the same cached graph ``bench_hm.py`` trains on) and searches the knobs
+that the round-3 convergence run left hand-picked:
+
+* ``eval_embeddings``: ``e0`` (the reference's own quirk — it scores with
+  the RAW embedding tables, ``utils/metrics_lightgcn.py:93-94``) vs
+  ``final`` (the LightGCN paper's propagated-embedding scoring). Training
+  optimizes FINAL-embedding dot products, so e0-eval is a train/eval
+  mismatch — the suspected driver of the measured peak-then-degrade.
+* ``Lambda``: ``bpr_loss`` regularizes with a batch SUM while the pairwise
+  term is a MEAN, so paper-units λ_eff ≈ λ·B (documented in
+  ``models/lightgcn.py``); at B=32k the useful range is λ ∈ [1e-6, 3e-5]
+  (λ_eff 0.03–1) — λ=1e-4 (λ_eff≈3) measurably pins recall to the random
+  floor.
+* ``learning_rate`` around the incumbent 5e-3.
+
+The schedule is STAGED rather than random-search (reference
+``run_hpo.py:13-58`` uses optuna random/TPE): at this scale every (lr, λ)
+combination is a fresh ~5-minute XLA compile through the remote compiler,
+so blind sampling wastes most of the budget re-compiling duplicates. Stage
+1 sweeps λ × eval-mode at the incumbent lr; stage 2 sweeps lr at the
+stage-1 winner. Each trial runs the PUBLIC ``train()`` with
+``select_best_val`` (budgeted version of the reference's 10k-iteration
+default, ``/root/reference/config.py:139``) and reports best-val
+recall@12 at the 20k-user eval cap.
+
+Writes ``HPO_HM.json`` (full study table + winner) — the committed study
+artifact. Run serialized with the other TPU benches (one chip).
+"""
+import argparse
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+from bench_hm import build_data, make_cfg, popularity_recall
+from laplace_gnn_recommendation_tpu.train.hpo import make_trial_config
+
+STEPS = 300
+EVAL_EVERY = 25
+
+
+def run_trial(data, params: dict, eval_embeddings: str, steps: int):
+    from laplace_gnn_recommendation_tpu.train.lightgcn_pipeline import train
+
+    base = make_cfg(
+        epochs=steps, eval_every=EVAL_EVERY,
+        lr_decay_every=max(1, steps // 67),
+        select_best_val=True, return_params=False,
+    )
+    cfg = make_trial_config(base, params)
+    t0 = time.perf_counter()
+    stats = train(
+        cfg, data, export=False, eval_embeddings=eval_embeddings,
+        log_fn=lambda *_: None,
+    )
+    wall = time.perf_counter() - t0
+    row = {
+        "eval_embeddings": eval_embeddings,
+        **params,
+        "best_val_recall@12_cap20k": stats.recall_val,
+        "test_recall@12_cap20k": stats.recall_test,
+        "final_loss": stats.loss,
+        "wall_s": round(wall, 1),
+    }
+    print("| trial " + json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=STEPS)
+    args = ap.parse_args()
+
+    data, _eu, _ei, build_s = build_data()
+    cap_cfg = make_cfg(epochs=1)
+    pop = popularity_recall(cap_cfg, data)
+    print(f"| popularity baseline recall@12 (cap 20k): {pop:.5f}", flush=True)
+
+    rows = []
+
+    # --- stage 1: eval-mode + λ at the incumbent lr -----------------------
+    incumbent_lr = 5e-3
+    rows.append(  # round-3 incumbent, for the comparison row
+        run_trial(data, {"learning_rate": incumbent_lr, "Lambda": 1e-6},
+                  "e0", args.steps)
+    )
+    for lam in (1e-6, 3e-6, 1e-5, 3e-5):
+        rows.append(
+            run_trial(data, {"learning_rate": incumbent_lr, "Lambda": lam},
+                      "final", args.steps)
+        )
+
+    stage1 = [r for r in rows if r["eval_embeddings"] == "final"]
+    best1 = max(stage1, key=lambda r: r["best_val_recall@12_cap20k"])
+    best_lam = best1["Lambda"]
+
+    # --- stage 2: lr around the incumbent at the stage-1 λ ----------------
+    for lr in (2e-3, 1e-2):
+        rows.append(
+            run_trial(data, {"learning_rate": lr, "Lambda": best_lam},
+                      "final", args.steps)
+        )
+
+    best = max(rows, key=lambda r: r["best_val_recall@12_cap20k"])
+    payload = {
+        "graph": {
+            "num_users": data.num_users, "num_items": data.num_items,
+            "train_edges": int(data.train_graph.num_edges),
+            "build_s": round(build_s, 1),
+        },
+        "budget": {"steps": args.steps, "eval_every": EVAL_EVERY,
+                   "eval_user_cap": 20_000},
+        "popularity_recall@12_cap20k": pop,
+        "trials": rows,
+        "best": best,
+        "best_vs_popularity": (
+            round(best["best_val_recall@12_cap20k"] / pop, 2) if pop else None
+        ),
+    }
+    with open("HPO_HM.json", "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({"metric": "hpo_hm_best_val_recall@12",
+                      "value": best["best_val_recall@12_cap20k"],
+                      "vs_popularity": payload["best_vs_popularity"]}))
+
+
+if __name__ == "__main__":
+    main()

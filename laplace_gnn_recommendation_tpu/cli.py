@@ -33,6 +33,8 @@ def run() -> None:
     # is skipped by the auto-flag generator; these map onto it explicitly)
     parser.add_argument("--mesh_data_axis", type=int, default=None)
     parser.add_argument("--mesh_model_axis", type=int, default=None)
+    parser.add_argument("--model_dir", default="model/saved")
+    parser.add_argument("--resume", action="store_true")
     add_dataclass_args(parser, link_pred_config)
     add_dataclass_args(parser, lightgcn_config)
     args, _ = parser.parse_known_args()
@@ -70,12 +72,22 @@ def run() -> None:
         stats = train(cfg, data)
         print("FINAL_STATS " + _json.dumps(_dc.asdict(stats)))
     elif args.type == "encoder":
+        import dataclasses as _dc
+        import json as _json
+
         from .data.link_pred_data import create_link_pred_data_from_artifacts
         from .train.encdec_pipeline import run_pipeline
 
         cfg = apply_parsed_args(link_pred_config, args)
+        if args.mesh_data_axis is not None:
+            cfg.mesh.data_axis = args.mesh_data_axis
+        if args.mesh_model_axis is not None:
+            cfg.mesh.model_axis = args.mesh_model_axis
         data, _ = create_link_pred_data_from_artifacts(args.artifact_dir, cfg)
-        run_pipeline(cfg, data)
+        stats = run_pipeline(
+            cfg, data, model_dir=args.model_dir, resume=args.resume
+        )
+        print("FINAL_STATS " + _json.dumps(_dc.asdict(stats)))
     elif args.type == "submission":
         from .data.link_pred_data import create_link_pred_data_from_artifacts
         from .train.submission import submission_pipeline

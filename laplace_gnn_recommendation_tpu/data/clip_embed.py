@@ -127,12 +127,16 @@ class ClipEmbedder:
 
         params = self.model.params
 
+        eos_id = int(tc.eos_token_id)
+
         def text_feats(ids):
-            # attention mask from CLIP's pad-with-eos convention: everything
-            # up to and including the FIRST eos is real
-            eos = jnp.argmax(
-                (ids == ids[:, -1:]).astype(jnp.int32), axis=1
-            )
+            # attention mask: everything up to and including the FIRST eos
+            # (from the model config's eos_token_id, NOT inferred from the
+            # last column — a custom tokenizer padding with a distinct pad
+            # id would otherwise cut every mask at the first pad). Custom
+            # tokenizers must still frame sequences with this eos id: the
+            # CLIP text tower pools the hidden state at the eos position.
+            eos = jnp.argmax((ids == eos_id).astype(jnp.int32), axis=1)
             mask = (
                 jnp.arange(ids.shape[1])[None, :] <= eos[:, None]
             ).astype(jnp.int32)

@@ -701,14 +701,31 @@ def parallel_epoch_batches(
     # fan the schedule out round-robin; reorder by index on the way out
     base = int(sampler.rng.integers(0, 2**31 - 1))
     workers = [sampler.clone(base + w) for w in range(num_workers)]
+    stop = _threading.Event()
+
+    def guarded_put(item) -> bool:
+        # bounded put so an abandoned consumer (generator closed mid-epoch)
+        # never leaves a worker blocked forever holding a batch
+        while not stop.is_set():
+            try:
+                out_q.put(item, timeout=0.1)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def run(w: int):
         try:
             for i in range(w, n, num_workers):
+                if stop.is_set():
+                    return
                 chunk, valid = chunks[i]
-                out_q.put((i, workers[w].sample_batch(chunk, valid_rows=valid)))
+                if not guarded_put(
+                    (i, workers[w].sample_batch(chunk, valid_rows=valid))
+                ):
+                    return
         except BaseException as e:  # propagate to the consumer
-            out_q.put((-1, e))
+            guarded_put((-1, e))
 
     threads = [
         _threading.Thread(target=run, args=(w,), daemon=True)
@@ -716,14 +733,27 @@ def parallel_epoch_batches(
     ]
     for t in threads:
         t.start()
-    pending: dict = {}
-    for want in range(n):
-        while want not in pending:
-            i, item = out_q.get()
-            if i < 0:
-                raise item
-            pending[i] = item
-        yield pending.pop(want)
-    for w in workers:
-        for k, v in w.truncations.items():
-            sampler.truncations[k] = sampler.truncations.get(k, 0) + v
+    try:
+        pending: dict = {}
+        for want in range(n):
+            while want not in pending:
+                i, item = out_q.get()
+                if i < 0:
+                    raise item
+                pending[i] = item
+            yield pending.pop(want)
+    finally:
+        # runs on normal exhaustion AND on early abandonment (close/break):
+        # cancel workers, drain so blocked puts unstick, then merge the
+        # workers' truncation counters into the caller's single telemetry
+        stop.set()
+        for t in threads:
+            while t.is_alive():
+                try:
+                    out_q.get_nowait()
+                except _queue.Empty:
+                    pass
+                t.join(timeout=0.05)
+        for w in workers:
+            for k, v in w.truncations.items():
+                sampler.truncations[k] = sampler.truncations.get(k, 0) + v

@@ -146,29 +146,31 @@ def run_sanitizer_check(mode: str = "asan", timeout: float = 600.0):
     out = run.stdout + run.stderr
     return run.returncode == 0, out
 
-# Persistent slot/stamp scratch for assemble_train_batch, keyed by graph
-# size AND calling thread. Generation stamping lets the C side skip the
-# O(V) per-call clear: a slot entry is valid only when its stamp equals the
-# call's generation. The thread key makes concurrent sampler workers
-# (``sampler.parallel_epoch_batches``) race-free: each worker stamps its
-# own arrays (~24 bytes/node — 35 MB/worker at H&M scale).
-_ASM_SCRATCH: dict = {}
+# Persistent slot/stamp scratch for assemble_train_batch, held in
+# threading.local storage (one set per live thread, garbage-collected with
+# the thread — sampler workers spawned per epoch don't accumulate ~35 MB
+# entries forever). Generation stamping lets the C side skip the O(V)
+# per-call clear: a slot entry is valid only when its stamp equals the
+# call's generation, and concurrent workers stamp their own arrays.
+import threading as _threading
+
+_ASM_TLS = _threading.local()
 
 
 def _asm_scratch(num_users: int, num_items: int) -> dict:
-    import threading
-
-    key = (num_users, num_items, threading.get_ident())
-    sc = _ASM_SCRATCH.get(key)
+    store = getattr(_ASM_TLS, "store", None)
+    if store is None:
+        store = _ASM_TLS.store = {}
+    key = (num_users, num_items)
+    sc = store.get(key)
     if sc is None:
-        sc = dict(
+        sc = store[key] = dict(
             uslot=np.empty(num_users, np.int32),
             islot=np.empty(num_items, np.int32),
             ustamp=np.zeros(num_users, np.int64),
             istamp=np.zeros(num_items, np.int64),
             gen=0,
         )
-        _ASM_SCRATCH[key] = sc
     sc["gen"] += 1  # unique per call; stamps start at 0 so gen starts at 1
     return sc
 

@@ -103,13 +103,42 @@ void sample_cut(const int32_t* arr, int64_t n, int64_t k, Rng& rng,
   }
 }
 
-// scratch buffers for one BFS worker thread
+// scratch buffers for one BFS worker thread; persisted thread_local across
+// calls (OpenMP keeps its thread pool alive) so batches don't re-zero
+// O(num_users) stamp arrays. Validity of a stamp entry is "== gen" where gen
+// comes from a process-global atomic counter, unique per seed across ALL
+// calls — stale entries from earlier batches can never collide.
 struct BfsScratch {
   std::vector<int64_t> explored_stamp, seen_stamp;
   std::vector<int32_t> new_articles, articles_queue, cut_buf, queue, new_users;
-  explicit BfsScratch(int64_t num_users)
-      : explored_stamp(num_users, -1), seen_stamp(num_users, -1) {}
+  std::vector<int64_t> prefix;
+  void ensure(int64_t num_users) {
+    if ((int64_t)explored_stamp.size() < num_users) {
+      explored_stamp.assign(num_users, 0);
+      seen_stamp.assign(num_users, 0);
+    }
+  }
 };
+
+BfsScratch* tls_bfs_scratch(int64_t num_users) {
+  thread_local BfsScratch sc;
+  sc.ensure(num_users);
+  return &sc;
+}
+
+std::atomic<int64_t> g_bfs_gen{1};
+
+// Above this many neighbor occurrences in a hop frontier, the exact
+// enumerate→dedup→sort→uniform-cut of the reference semantics
+// (data/dataset.py:258-293) is replaced by rejection sampling over
+// occurrences: draw a random (article, position) slot, reject already-seen
+// users, until num_neighbors NEW users are found. This is occurrence-
+// weighted (degree-biased) frontier selection — the standard GraphSAGE
+// compromise — and only engages on graphs whose popular items have tens of
+// thousands of users (H&M/at-scale shapes), where the exact path would scan
+// and sort 100k+ users per seed per hop. Small graphs (ML-1M, all golden/
+// parity tests) stay on the exact path bit-for-bit.
+constexpr int64_t kExactFrontierScanCap = 32768;
 
 // one seed's N-hop BFS (fetch_n_hop_neighbourhood semantics,
 // data/dataset.py:258-293); appends hop edges to (srcs, dsts)
@@ -137,20 +166,50 @@ void bfs_seed(
     }
     sample_cut(sc.new_articles.data(), (int64_t)sc.new_articles.size(),
                num_neighbors, rng, sc.articles_queue);
-    sc.new_users.clear();
+    // frontier-user occurrence count decides exact vs rejection selection
+    sc.prefix.clear();
+    int64_t total = 0;
     for (int32_t a : sc.articles_queue) {
-      const int64_t lo = item_row_ptr[a], hi = item_row_ptr[a + 1];
-      for (int64_t e = lo; e < hi; ++e) {
-        const int32_t u2 = item_cols[e];
-        if (sc.explored_stamp[u2] != gen && sc.seen_stamp[u2] != gen) {
-          sc.seen_stamp[u2] = gen;
-          sc.new_users.push_back(u2);
+      sc.prefix.push_back(total);
+      total += item_row_ptr[a + 1] - item_row_ptr[a];
+    }
+    if (total > kExactFrontierScanCap) {
+      // rejection sampling over (article, position) occurrence slots —
+      // degree-biased over distinct users; O(num_neighbors) instead of
+      // O(total + distinct·log distinct)
+      sc.cut_buf.clear();
+      const int64_t cap = 24 * (int64_t)num_neighbors + 64;
+      for (int64_t attempts = 0;
+           (int64_t)sc.cut_buf.size() < num_neighbors && attempts < cap;
+           ++attempts) {
+        const int64_t o = (int64_t)rng.bounded((uint64_t)total);
+        // articles_queue has ≤ num_neighbors entries: binary search the
+        // prefix array for the owning article
+        const size_t ai =
+            (size_t)(std::upper_bound(sc.prefix.begin(), sc.prefix.end(), o) -
+                     sc.prefix.begin()) - 1;
+        const int32_t a = sc.articles_queue[ai];
+        const int32_t u2 = item_cols[item_row_ptr[a] + (o - sc.prefix[ai])];
+        if (sc.explored_stamp[u2] == gen || sc.seen_stamp[u2] == gen) continue;
+        sc.seen_stamp[u2] = gen;
+        sc.cut_buf.push_back(u2);
+      }
+    } else {
+      sc.new_users.clear();
+      for (int32_t a : sc.articles_queue) {
+        const int64_t lo = item_row_ptr[a], hi = item_row_ptr[a + 1];
+        for (int64_t e = lo; e < hi; ++e) {
+          const int32_t u2 = item_cols[e];
+          if (sc.explored_stamp[u2] != gen && sc.seen_stamp[u2] != gen) {
+            sc.seen_stamp[u2] = gen;
+            sc.new_users.push_back(u2);
+          }
         }
       }
+      std::sort(sc.new_users.begin(), sc.new_users.end());  // determinism
+      sample_cut(sc.new_users.data(), (int64_t)sc.new_users.size(),
+                 num_neighbors, rng, sc.cut_buf);
     }
-    std::sort(sc.new_users.begin(), sc.new_users.end());  // determinism
-    sample_cut(sc.new_users.data(), (int64_t)sc.new_users.size(),
-               num_neighbors, rng, sc.cut_buf);
     for (int32_t u2 : sc.cut_buf) sc.explored_stamp[u2] = gen;
     sc.queue = sc.cut_buf;
   }
@@ -186,12 +245,14 @@ int64_t nhop_sample(
   // hashing (the per-hop user unions touch O(articles · item_degree) entries)
   parallel_seeds(
       num_seeds,
-      [&]() { return BfsScratch(num_users); },
-      [&](BfsScratch& sc, int64_t s) {
+      [&]() { return tls_bfs_scratch(num_users); },
+      [&](BfsScratch* sc, int64_t s) {
         Rng rng(rng_seed * 0x9e3779b97f4a7c15ULL +
                 (uint64_t)s * 0xda942042e4dd58b5ULL);
+        const int64_t gen = g_bfs_gen.fetch_add(1, std::memory_order_relaxed);
         bfs_seed(user_row_ptr, user_cols, item_row_ptr, item_cols,
-                 seeds[s], n_hops, num_neighbors, s, rng, sc, srcs[s], dsts[s]);
+                 seeds[s], n_hops, num_neighbors, gen, rng, *sc, srcs[s],
+                 dsts[s]);
       });
 
   int64_t total = 0;
@@ -332,12 +393,14 @@ int64_t assemble_train_batch(
 
   parallel_seeds(
       num_seeds,
-      [&]() { return BfsScratch(num_users); },
-      [&](BfsScratch& sc, int64_t s) {
+      [&]() { return tls_bfs_scratch(num_users); },
+      [&](BfsScratch* scp, int64_t s) {
+      BfsScratch& sc = *scp;
       Rng rng(rng_seed * 0x9e3779b97f4a7c15ULL +
               (uint64_t)s * 0xda942042e4dd58b5ULL);
+      const int64_t bfs_gen = g_bfs_gen.fetch_add(1, std::memory_order_relaxed);
       bfs_seed(user_row_ptr, user_cols, item_row_ptr, item_cols,
-               seeds[s], n_hops, num_neighbors, s, rng, sc,
+               seeds[s], n_hops, num_neighbors, bfs_gen, rng, sc,
                hsrcs[s], hdsts[s]);
       const int32_t u = seeds[s];
       const int64_t lo = user_row_ptr[u];

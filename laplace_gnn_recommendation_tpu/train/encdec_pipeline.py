@@ -173,6 +173,17 @@ def run_pipeline(
     """
     cfg.print()
     cfg.check_validity()
+    if mesh is None:
+        # honor cfg.mesh for launcher-driven runs (same contract as
+        # lightgcn_pipeline.train): any multi-process launch or an explicit
+        # non-default axis spec spans ALL devices; the default stays
+        # single-device (the reference's setting)
+        mc = getattr(cfg, "mesh", None)
+        explicit = mc is not None and (mc.data_axis, mc.model_axis) != (-1, 1)
+        if jax.process_count() > 1 or explicit:
+            from ..parallel.mesh import build_mesh
+
+            mesh = build_mesh(mc.data_axis, mc.model_axis)
     wandb, cfg = setup_config("Fashion-Recomm-GNN", cfg.wandb_enabled, cfg)
 
     key = jax.random.PRNGKey(cfg.seed)

@@ -415,14 +415,26 @@ def evaluation(
     prop_graph=None,
     mesh=None,
     num_valid_items: Optional[int] = None,
+    metrics_prop_graph=None,
 ) -> Tuple[float, float, float, float]:
-    """(loss, recall, precision, ndcg) — reference ``run_pipeline_lightgcn.py:20-73``."""
+    """(loss, recall, precision, ndcg) — reference ``run_pipeline_lightgcn.py:20-73``.
+
+    The eval LOSS propagates over the eval split's own adjacency
+    (``prop_graph``), mirroring the reference's ``model.forward(
+    val_sparse_edge_index)``. The ranking METRICS under
+    ``eval_embeddings="final"`` propagate over ``metrics_prop_graph`` —
+    callers pass the TRAIN adjacency (the LightGCN paper's scoring, and the
+    leakage-free choice: the eval split's edges ARE the prediction targets,
+    so they must not feed the scoring propagation)."""
     loss = float(
         eval_loss(cfg, params, eval_graph, eval_set, key, max_degree, prop_graph)
     )
     recall, precision, ndcg = get_metrics(
         params, cfg, eval_set,
-        graph_for_final=prop_graph if prop_graph is not None else eval_graph,
+        graph_for_final=(
+            metrics_prop_graph if metrics_prop_graph is not None
+            else (prop_graph if prop_graph is not None else eval_graph)
+        ),
         eval_embeddings=eval_embeddings,
         mesh=mesh, num_valid_items=num_valid_items,
     )
@@ -616,6 +628,19 @@ def train(
             key = jax.random.fold_in(key, start_it)
             log_fn(f"| Resuming from checkpoint (iteration {start_it})...")
 
+    def _all_finite(tree) -> bool:
+        # one fused device reduction over the float leaves; the snapshot
+        # itself must be validated, not just the (pre-update) step loss —
+        # an update that lands non-finite at an eval iteration would
+        # otherwise poison last_good and every later rollback
+        leaves = [
+            leaf for leaf in jax.tree.leaves(tree)
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+        ]
+        if not leaves:
+            return True
+        return bool(jnp.all(jnp.stack([jnp.all(jnp.isfinite(x)) for x in leaves])))
+
     train_loss = jnp.zeros(())
     recall = precision = 0.0
     best_recall, best_params, last_evaled = -1.0, None, -1
@@ -627,18 +652,25 @@ def train(
         if cfg.checkpoint_every and it % cfg.checkpoint_every == 0 and it > start_it:
             from .checkpoint import save_state
 
-            save_state(
-                os.path.join(ckpt_dir, f"model_{it}"),
-                {"params": params, "opt_state": opt_state},
-                sharded=parts > 1,
-            )
+            # never persist a poisoned state: cfg.resume loads the NEWEST
+            # checkpoint, so a NaN save would brick every resume attempt
+            if np.isfinite(float(train_loss)) and _all_finite(params):
+                save_state(
+                    os.path.join(ckpt_dir, f"model_{it}"),
+                    {"params": params, "opt_state": opt_state},
+                    sharded=parts > 1,
+                )
+            else:
+                log_fn(
+                    f"| skipping checkpoint at iter {it}: non-finite state"
+                )
 
         if it % cfg.eval_every == 0:
             # failure detection (SURVEY §5; the reference's runs die):
             # a non-finite loss rolls back to the last finite eval point
             # instead of letting NaNs poison the tables; the step key
             # stream has already advanced, so the retried steps resample
-            if not np.isfinite(float(train_loss)):
+            if not np.isfinite(float(train_loss)) or not _all_finite(params):
                 if last_good is None:
                     raise FloatingPointError(
                         f"non-finite loss {float(train_loss)} at iter {it} "
@@ -663,6 +695,7 @@ def train(
                 max_deg_val, eval_embeddings,
                 prop_graph=eval_prop("val", data.val_graph),
                 mesh=mesh, num_valid_items=data.num_items,
+                metrics_prop_graph=train_prop,
             )
             last_evaled = it
             if recall > best_recall:
@@ -684,6 +717,7 @@ def train(
                 max_deg_val, eval_embeddings,
                 prop_graph=eval_prop("val", data.val_graph),
                 mesh=mesh, num_valid_items=data.num_items,
+                metrics_prop_graph=train_prop,
             )
             if recall > best_recall:
                 best_recall, best_params = recall, (params, precision)
@@ -702,6 +736,7 @@ def train(
         max_deg_test, eval_embeddings,
         prop_graph=eval_prop("test", data.test_graph),
         mesh=mesh, num_valid_items=data.num_items,
+        metrics_prop_graph=train_prop,
     )
     log_fn(
         f"[test_loss: {test_loss:.5f}, test_recall@{cfg.k}: {test_recall:.5f}, "

@@ -69,7 +69,7 @@ def _free_port() -> int:
     return port
 
 
-def _spawn(pid: int, port: int, art: str, cwd: str):
+def _spawn(pid: int, port: int, art: str, cwd: str, cli_args=CLI_ARGS):
     env = os.environ.copy()
     env.update(
         {
@@ -84,10 +84,26 @@ def _spawn(pid: int, port: int, art: str, cwd: str):
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.Popen(
         [sys.executable, "-m", "laplace_gnn_recommendation_tpu.cli",
-         "--artifact_dir", art, *CLI_ARGS],
+         "--artifact_dir", art, *cli_args],
         env=env, cwd=cwd,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
+
+
+def _run_pair(port, art, cwd, cli_args):
+    procs = [_spawn(pid, port, art, cwd, cli_args) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+    return outs
 
 
 class TestMultiHost:
@@ -124,21 +140,7 @@ class TestMultiHost:
         )
 
         # --- two real processes through the CLI entry
-        port = _free_port()
-        procs = [
-            _spawn(pid, port, ml_artifacts, str(tmp_path)) for pid in (0, 1)
-        ]
-        outs = []
-        for p in procs:
-            try:
-                out, _ = p.communicate(timeout=420)
-            except subprocess.TimeoutExpired:
-                for q in procs:
-                    q.kill()
-                raise
-            outs.append(out)
-        for p, out in zip(procs, outs):
-            assert p.returncode == 0, out[-4000:]
+        outs = _run_pair(_free_port(), ml_artifacts, str(tmp_path), CLI_ARGS)
 
         final = [
             json.loads(line.split("FINAL_STATS ", 1)[1])
@@ -150,6 +152,87 @@ class TestMultiHost:
         # both controllers computed the same replicated loss...
         assert final[0]["loss"] == pytest.approx(final[1]["loss"], abs=1e-6)
         # ...and it matches the single-controller run of the same program
+        assert final[0]["loss"] == pytest.approx(ref_stats.loss, abs=1e-4)
+        assert final[0]["recall_test"] == pytest.approx(
+            ref_stats.recall_test, abs=1e-6
+        )
+
+    def test_two_process_encdec_checkpoint_resume(self, ml_artifacts, tmp_path):
+        """The encoder-decoder pipeline under 2 real processes, WITH the
+        multi-process orbax sharded checkpoint/resume path (VERDICT r3 item
+        5): leg 1 trains 3 epochs writing sharded checkpoints into a shared
+        model_dir, leg 2 resumes from them and trains to 5; final loss must
+        match the identical two-leg run on a single-controller 8-device
+        mesh."""
+        import jax
+
+        from laplace_gnn_recommendation_tpu.configs import Config
+        from laplace_gnn_recommendation_tpu.data.link_pred_data import (
+            create_link_pred_data_from_artifacts,
+        )
+        from laplace_gnn_recommendation_tpu.parallel.mesh import build_mesh
+        from laplace_gnn_recommendation_tpu.train.encdec_pipeline import (
+            run_pipeline,
+        )
+
+        def enc_cfg(epochs: int) -> Config:
+            return Config(
+                epochs=epochs, eval_every=2, batch_size=8,
+                hidden_layer_size=8, encoder_layer_output_size=8,
+                n_hop_neighbors=2, num_neighbors=8, k=4,
+                candidate_pool_size=8, save_model=True, save_every=0.34,
+            )
+
+        # --- single-controller reference: same two-leg sequence ------------
+        sc_dir = str(tmp_path / "sc_model")
+        bundle, _ = create_link_pred_data_from_artifacts(
+            ml_artifacts, enc_cfg(3)
+        )
+        mesh = build_mesh(2, 4)
+        run_pipeline(
+            enc_cfg(3), bundle, model_dir=sc_dir, mesh=mesh,
+            log_fn=lambda *_: None,
+        )
+        ref_stats = run_pipeline(
+            enc_cfg(5), bundle, model_dir=sc_dir, mesh=mesh, resume=True,
+            log_fn=lambda *_: None,
+        )
+
+        # --- two real processes through the CLI, shared model_dir ----------
+        mp_dir = str(tmp_path / "mp_model")
+        enc_args = [
+            "--type", "encoder",
+            "--eval_every", "2", "--batch_size", "8",
+            "--hidden_layer_size", "8", "--encoder_layer_output_size", "8",
+            "--n_hop_neighbors", "2", "--num_neighbors", "8", "--k", "4",
+            "--candidate_pool_size", "8",
+            "--save_model", "true", "--save_every", "0.34",
+            "--mesh_data_axis", "2", "--mesh_model_axis", "4",
+            "--model_dir", mp_dir,
+        ]
+        _run_pair(
+            _free_port(), ml_artifacts, str(tmp_path),
+            enc_args + ["--epochs", "3"],
+        )
+        # sharded orbax checkpoints were written (model axis is 4 > 1)
+        assert any(
+            name.endswith(".orbax") for name in os.listdir(mp_dir)
+        ), os.listdir(mp_dir)
+        outs = _run_pair(
+            _free_port(), ml_artifacts, str(tmp_path),
+            enc_args + ["--epochs", "5", "--resume"],
+        )
+        assert all("Resuming from checkpoint" in out for out in outs), (
+            outs[0][-3000:]
+        )
+        final = [
+            json.loads(line.split("FINAL_STATS ", 1)[1])
+            for out in outs
+            for line in out.splitlines()
+            if line.startswith("FINAL_STATS ")
+        ]
+        assert len(final) == 2, outs[0][-2000:]
+        assert final[0]["loss"] == pytest.approx(final[1]["loss"], abs=1e-6)
         assert final[0]["loss"] == pytest.approx(ref_stats.loss, abs=1e-4)
         assert final[0]["recall_test"] == pytest.approx(
             ref_stats.recall_test, abs=1e-6
