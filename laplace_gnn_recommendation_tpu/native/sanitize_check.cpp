@@ -131,6 +131,51 @@ int main() {
     if (rc != 0) { std::fprintf(stderr, "assemble rc=%lld\n", (long long)rc); return 3; }
   }
 
+  // --- rejection-sampled frontier path (kExactFrontierScanCap crossing) ---
+  // a hub item connected to every user pushes a hop's occurrence total far
+  // past 32768, exercising the occurrence-rejection branch of bfs_seed
+  {
+    const int64_t nu2 = 60000, ni2 = 64;
+    std::vector<int32_t> eu2, ei2;
+    for (int64_t u = 0; u < nu2; ++u) {
+      eu2.push_back((int32_t)u);
+      ei2.push_back(0);  // the hub
+      eu2.push_back((int32_t)u);
+      ei2.push_back((int32_t)(1 + rng() % (ni2 - 1)));
+    }
+    Csr u2 = build_csr(eu2, ei2, nu2);
+    Csr i2 = build_csr(ei2, eu2, ni2);
+    std::vector<int32_t> seeds2(b);
+    for (int64_t i = 0; i < b; ++i) seeds2[i] = (int32_t)(rng() % nu2);
+    const int64_t cap2 = 1 << 18;
+    std::vector<int32_t> src2(cap2), dst2(cap2);
+    std::vector<int64_t> off2(b + 1, 0);
+    int64_t total2 = nhop_sample(
+        u2.row_ptr.data(), u2.cols.data(), i2.row_ptr.data(), i2.cols.data(),
+        nu2, ni2, seeds2.data(), b, 3, 16, 2024,
+        src2.data(), dst2.data(), cap2, off2.data());
+    if (total2 < 0) { std::fprintf(stderr, "hub bfs overflow\n"); return 4; }
+    std::vector<int32_t> uslot2(nu2), islot2(ni2);
+    std::vector<int64_t> ustamp2(nu2, 0), istamp2(ni2, 0);
+    std::vector<int32_t> user_ids2(4096), item_ids2(ni2);
+    std::vector<uint8_t> user_mask2(4096), item_mask2(ni2);
+    int64_t rc2 = assemble_train_batch(
+        u2.row_ptr.data(), u2.cols.data(), i2.row_ptr.data(), i2.cols.data(),
+        nu2, ni2, seeds2.data(), b, 2, 16,
+        0.5, 3.0, 12, (int32_t)(ni2 - 1), (int64_t)eu2.size(), 4242,
+        nullptr, 0,
+        4096, ni2, ne, lpu, gpu,
+        user_ids2.data(), item_ids2.data(), user_mask2.data(),
+        item_mask2.data(),
+        edge_src.data(), edge_dst.data(), edge_mask.data(),
+        label_src.data(), label_dst.data(), label.data(), label_mask.data(),
+        label_item.data(), gt_items.data(), gt_count.data(),
+        seed_slots.data(), seeds_out.data(),
+        uslot2.data(), islot2.data(), ustamp2.data(), istamp2.data(), 99,
+        stats);
+    if (rc2 != 0) { std::fprintf(stderr, "hub assemble rc=%lld\n", (long long)rc2); return 5; }
+  }
+
   // --- pinsage_frontier + walk_step ---
   std::vector<int32_t> items(b);
   for (int64_t i = 0; i < b; ++i) items[i] = (int32_t)(rng() % num_items);

@@ -214,3 +214,69 @@ class TestFailureRecovery:
         )
         assert any("Resuming from checkpoint (iteration 5)" in m for m in logs), logs[:6]
         assert np.isfinite(stats.loss)
+
+    def test_no_poisoned_checkpoints(self, tiny_data, tmp_path):
+        """A diverging run must NEVER persist non-finite params: resume
+        loads the newest checkpoint, so one poisoned save bricks every
+        retry (ADVICE r3). checkpoint_every=1 + absurd lr → every written
+        checkpoint must still be finite."""
+        import os
+
+        cfg = LightGCNConfig(
+            epochs=8, eval_every=2, hidden_layer_size=8, num_iterations=2,
+            batch_size=16, learning_rate=1e18, num_recommendations=8,
+            checkpoint_every=1, artifact_dir=str(tmp_path),
+        )
+        logs = []
+        lightgcn_pipeline.train(
+            cfg, tiny_data, export=False, log_fn=lambda m: logs.append(str(m))
+        )
+        assert any("skipping checkpoint" in m for m in logs), logs[-6:]
+        ckpt_dir = os.path.join(str(tmp_path), "lightgcn_ckpt")
+        from laplace_gnn_recommendation_tpu.train.checkpoint import (
+            load_checkpoint,
+        )
+        from laplace_gnn_recommendation_tpu.models.lightgcn import (
+            init_lightgcn,
+        )
+        import optax
+
+        template_p = init_lightgcn(jax.random.PRNGKey(0), 120, 128, 8)
+        tx = optax.adam(1e-3)
+        template = {"params": template_p, "opt_state": tx.init(template_p)}
+        wrote = 0
+        for name in os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else []:
+            state = load_checkpoint(os.path.join(ckpt_dir, name), template)
+            for leaf in jax.tree.leaves(state["params"]):
+                assert np.isfinite(np.asarray(leaf)).all(), name
+            wrote += 1
+        # the gate may have skipped every save (divergence at step 1) —
+        # what matters is that nothing non-finite landed on disk
+        assert wrote >= 0
+
+
+class TestFinalEmbeddingEval:
+    def test_final_eval_scores_through_train_graph(self, tiny_data):
+        """eval_embeddings='final' must propagate over the TRAIN adjacency
+        (leak-free: the eval split's edges are the targets), matching an
+        explicit get_metrics call with the train graph operand."""
+        cfg = LightGCNConfig(
+            epochs=4, eval_every=2, hidden_layer_size=8, num_iterations=2,
+            batch_size=16, num_recommendations=8, return_params=True,
+        )
+        stats = lightgcn_pipeline.train(
+            cfg, tiny_data, export=False, eval_embeddings="final",
+            log_fn=lambda *_: None,
+        )
+        r_train_prop = lightgcn_pipeline.get_metrics(
+            stats.params, cfg, tiny_data.test_set,
+            graph_for_final=tiny_data.train_graph, eval_embeddings="final",
+        )[0]
+        r_test_prop = lightgcn_pipeline.get_metrics(
+            stats.params, cfg, tiny_data.test_set,
+            graph_for_final=tiny_data.test_graph, eval_embeddings="final",
+        )[0]
+        assert stats.recall_test == pytest.approx(r_train_prop, abs=1e-9)
+        # sanity: propagating over the target edges really is a different
+        # (leaky) quantity — the distinction matters
+        assert r_train_prop != pytest.approx(r_test_prop, abs=1e-9)

@@ -107,3 +107,88 @@ class TestIntegration:
         iids = np.asarray(b.item_ids)[np.asarray(b.edge_dst)[em]]
         for u, i in zip(uids, iids):
             assert (int(u), int(i)) in real
+
+
+class TestRejectionFrontier:
+    """The occurrence-rejection frontier branch of ``bfs_seed`` (engages
+    above kExactFrontierScanCap=32768 frontier occurrences — hub items with
+    tens of thousands of users, the at-scale Zipf shape)."""
+
+    @pytest.fixture(scope="class")
+    def hub_csrs(self):
+        # a hub item connected to EVERY user (degree 50k) + per-user extras:
+        # any frontier containing the hub crosses the exact-scan cap
+        n_u, n_i = 50_000, 64
+        rng = np.random.default_rng(0)
+        eu = np.repeat(np.arange(n_u, dtype=np.int64), 2)
+        ei = np.empty(2 * n_u, np.int64)
+        ei[0::2] = 0  # the hub
+        ei[1::2] = rng.integers(1, n_i, n_u)
+        return (
+            HostCSR.from_edges(eu, ei, n_u, n_i),
+            HostCSR.from_edges(ei, eu, n_i, n_u),
+            set(zip(eu.tolist(), ei.tolist())),
+            n_u, n_i,
+        )
+
+    def test_edges_valid_and_frontier_bounded(self, hub_csrs):
+        ucsr, icsr, real, n_u, n_i = hub_csrs
+        seeds = np.arange(16)
+        cap = 8
+        src, dst, off = native.nhop_sample(
+            ucsr.row_ptr, ucsr.cols, icsr.row_ptr, icsr.cols,
+            n_u, n_i, seeds, 3, cap, 7,
+        )
+        assert off[-1] == len(src) and len(src) > 0
+        for i, seed in enumerate(seeds):
+            s_sl = src[off[i]: off[i + 1]]
+            d_sl = dst[off[i]: off[i + 1]]
+            # real edges only, seed's own excluded
+            for s, d in zip(s_sl.tolist(), d_sl.tolist()):
+                assert (s, d) in real
+                assert s != int(seed)
+            # hop sources are distinct users, ≤ cap per hop, never revisited
+            hop_users = np.unique(s_sl)
+            counts = {}
+            for s in s_sl.tolist():
+                counts[s] = counts.get(s, 0) + 1
+            # each frontier user contributes its full (2-edge) adjacency once
+            assert all(c <= 2 for c in counts.values())
+            assert len(hop_users) <= cap * 3  # ≤ cap new users per deep hop
+
+    def test_deterministic_given_seed(self, hub_csrs):
+        ucsr, icsr, _, n_u, n_i = hub_csrs
+        seeds = np.arange(8)
+        a = native.nhop_sample(
+            ucsr.row_ptr, ucsr.cols, icsr.row_ptr, icsr.cols,
+            n_u, n_i, seeds, 2, 8, 99,
+        )
+        b = native.nhop_sample(
+            ucsr.row_ptr, ucsr.cols, icsr.row_ptr, icsr.cols,
+            n_u, n_i, seeds, 2, 8, 99,
+        )
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+
+    def test_full_assembly_on_hub_graph(self, hub_csrs):
+        """The whole native batch assembly stays consistent on the hub
+        shape (slot maps valid, labels reference real slots)."""
+        ucsr, icsr, _, n_u, n_i = hub_csrs
+        cfg = Config(
+            batch_size=16, num_neighbors=8, n_hop_neighbors=2, k=4,
+            candidate_pool_size=6, hidden_layer_size=8,
+            encoder_layer_output_size=8,
+        )
+        s = SubgraphSampler(cfg, ucsr, icsr, train=True, seed=1)
+        assert s._native is not None
+        b = s.sample_batch(np.arange(16))
+        ids = np.asarray(b.item_ids)
+        mask = np.asarray(b.item_mask)
+        # every labeled item resolves to the right global id slot
+        lm = np.asarray(b.label_mask)
+        ld = np.asarray(b.label_dst)
+        lg = np.asarray(b.label_item_global)
+        np.testing.assert_array_equal(ids[ld[lm]], lg[lm])
+        # edges only touch live slots
+        em = np.asarray(b.edge_mask)
+        assert mask[np.asarray(b.edge_dst)[em]].all()

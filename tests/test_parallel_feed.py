@@ -92,3 +92,32 @@ class TestPipelineWithWorkers:
             cfg2, data, log_fn=lambda *_: None
         )
         assert np.isfinite(stats.loss)
+
+
+class TestAbandonment:
+    def test_early_close_releases_workers(self, setup):
+        """Abandoning the generator mid-epoch must cancel the workers
+        (bounded puts + finally-block drain) and still merge their
+        truncation counters — no threads left blocked holding batches."""
+        import threading
+
+        cfg, data = setup
+        train_s, _, _ = create_samplers(cfg, data, seed=5)
+        before = threading.active_count()
+        it = parallel_epoch_batches(
+            train_s, num_workers=3, shuffle=True, buffer_per_worker=1
+        )
+        next(it)
+        next(it)
+        it.close()  # consumer walks away mid-epoch (bench-style capped loop)
+        deadline = 50
+        while threading.active_count() > before and deadline:
+            deadline -= 1
+            import time
+
+            time.sleep(0.1)
+        assert threading.active_count() <= before, (
+            "worker threads still alive after generator close"
+        )
+        # truncation merge ran in the finally block (counters are ints ≥ 0)
+        assert all(v >= 0 for v in train_s.truncations.values())
