@@ -7,6 +7,7 @@ fraction-of-peak for the binding resource of each kernel, plus a human
 table on stderr.
 """
 import json
+import os
 import sys
 import time
 
@@ -202,8 +203,15 @@ def main():
     worst = min(summary.values())
 
     # persistent speed-of-light artifact (BASELINE.md: "lookup /
-    # message-passing / scoring kernels profiled at speed-of-light")
-    roofline = {
+    # message-passing / scoring kernels profiled at speed-of-light").
+    # MERGED into the existing file — profile_hm_step.py owns the
+    # fraction_of_gather_roofline_hm block and must survive this writer
+    # (round-3 lost it to a blind overwrite here)
+    roofline = {}
+    if os.path.exists("ROOFLINE.json"):
+        with open("ROOFLINE.json") as fjson:
+            roofline = json.load(fjson)
+    roofline |= {
         "peaks": {
             "flops_bf16": peak_flops,
             "hbm_bytes_per_s_practical": peak_bytes,

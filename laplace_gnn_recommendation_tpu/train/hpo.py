@@ -117,12 +117,16 @@ def sample_trial(
     return params
 
 
-def make_trial_config(base: Config, params: Dict) -> Config:
+def make_trial_config(base, params: Dict):
+    """Works for BOTH config dataclasses (the study objective decides which
+    pipeline runs — ``run_hpo`` uses the encdec ``Config``, ``hpo_hm.py``
+    the ``LightGCNConfig``)."""
     cfg = dataclasses.replace(base)
     for k, v in params.items():
         setattr(cfg, k, v)
     # keep k ≤ 2·candidate_pool_size invariant (run_pipeline.py:32-34)
-    cfg.candidate_pool_size = max(cfg.candidate_pool_size, cfg.k)
+    if hasattr(cfg, "candidate_pool_size"):
+        cfg.candidate_pool_size = max(cfg.candidate_pool_size, cfg.k)
     return cfg
 
 
