@@ -51,6 +51,16 @@ class TestHPO:
         cfg = make_trial_config(link_pred_config, sample_trial(rng))
         cfg.check_validity()
 
+    def test_trial_config_lightgcn(self):
+        """make_trial_config also works on LightGCNConfig (hpo_hm.py drives
+        the at-scale study with it; it has no candidate_pool_size)."""
+        from laplace_gnn_recommendation_tpu.configs import LightGCNConfig
+
+        cfg = make_trial_config(
+            LightGCNConfig(), {"learning_rate": 1e-2, "Lambda": 3e-6}
+        )
+        assert cfg.learning_rate == 1e-2 and cfg.Lambda == 3e-6
+
     def test_run_study_minimizes(self, tmp_path):
         calls = []
 
