@@ -229,7 +229,10 @@ def full_eval_sweep(cfg, params, data):
     serving_params = params
     if train_prop is not None:
         # production serving rides the same space: precomputed propagated
-        # tables behind the MIPS retrieval server
+        # tables behind the MIPS retrieval server. The ONE forward here
+        # also feeds the metric sweep below (scoring propagated tables
+        # with eval_embeddings="e0" ≡ the "final" path, minus a second
+        # K-iteration propagation)
         from laplace_gnn_recommendation_tpu.models.lightgcn import (
             LightGCNParams,
         )
@@ -244,8 +247,8 @@ def full_eval_sweep(cfg, params, data):
     n_users = len(data.test_set.users)
     t0 = time.perf_counter()
     recall, precision, ndcg = get_metrics(
-        params, cfg_full, data.test_set, graph_for_final=train_prop,
-        eval_embeddings=EVAL_EMB, chunk=8192
+        serving_params, cfg_full, data.test_set, eval_embeddings="e0",
+        chunk=8192
     )
     wall = time.perf_counter() - t0
     # calibration: the popularity baseline at the SAME uncapped tier, so the

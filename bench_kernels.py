@@ -209,8 +209,11 @@ def main():
     # (round-3 lost it to a blind overwrite here)
     roofline = {}
     if os.path.exists("ROOFLINE.json"):
-        with open("ROOFLINE.json") as fjson:
-            roofline = json.load(fjson)
+        try:
+            with open("ROOFLINE.json") as fjson:
+                roofline = json.load(fjson)
+        except (json.JSONDecodeError, OSError):
+            roofline = {}  # truncated artifact from a killed writer
     roofline |= {
         "peaks": {
             "flops_bf16": peak_flops,
@@ -251,8 +254,9 @@ def main():
         },
         "train_step_mfu": mfu,
     }
-    with open("ROOFLINE.json", "w") as fjson:
+    with open("ROOFLINE.json.tmp", "w") as fjson:
         json.dump(roofline, fjson, indent=1)
+    os.replace("ROOFLINE.json.tmp", "ROOFLINE.json")
 
     print(json.dumps({
         "metric": "kernel_fraction_of_peak_min",

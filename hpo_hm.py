@@ -117,8 +117,11 @@ def main():
         "popularity_recall@12_cap20k": pop,
         "trials": rows,
         "best": best,
+        # apples-to-apples: the popularity baseline scores the TEST split,
+        # so the headline lift uses the winner's TEST recall (selection
+        # still happens on val)
         "best_vs_popularity": (
-            round(best["best_val_recall@12_cap20k"] / pop, 2) if pop else None
+            round(best["test_recall@12_cap20k"] / pop, 2) if pop else None
         ),
     }
     with open("HPO_HM.json", "w") as f:

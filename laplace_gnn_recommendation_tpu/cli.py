@@ -34,7 +34,14 @@ def run() -> None:
     parser.add_argument("--mesh_data_axis", type=int, default=None)
     parser.add_argument("--mesh_model_axis", type=int, default=None)
     parser.add_argument("--model_dir", default="model/saved")
-    parser.add_argument("--resume", action="store_true")
+    # same value-typed contract as the auto-generated bool flags
+    # ("--resume true"/"--resume false" keep working); bare "--resume"
+    # also reads as true
+    parser.add_argument(
+        "--resume",
+        type=lambda s: s.lower() in ("1", "true", "yes"),
+        nargs="?", const=True, default=False,
+    )
     add_dataclass_args(parser, link_pred_config)
     add_dataclass_args(parser, lightgcn_config)
     args, _ = parser.parse_known_args()

@@ -136,7 +136,15 @@ class ClipEmbedder:
             # id would otherwise cut every mask at the first pad). Custom
             # tokenizers must still frame sequences with this eos id: the
             # CLIP text tower pools the hidden state at the eos position.
-            eos = jnp.argmax((ids == eos_id).astype(jnp.int32), axis=1)
+            if eos_id == 2:
+                # released OpenAI CLIP checkpoints carry a historically
+                # WRONG eos_token_id=2 in their config while the tokenizer
+                # emits 49407; HF's modeling_clip special-cases exactly
+                # this and falls back to argmax (49407 is the largest
+                # vocab id, so argmax finds the true eos position)
+                eos = jnp.argmax(ids, axis=1)
+            else:
+                eos = jnp.argmax((ids == eos_id).astype(jnp.int32), axis=1)
             mask = (
                 jnp.arange(ids.shape[1])[None, :] <= eos[:, None]
             ).astype(jnp.int32)

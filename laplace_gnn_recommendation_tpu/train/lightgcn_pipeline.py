@@ -630,9 +630,10 @@ def train(
 
     def _all_finite(tree) -> bool:
         # one fused device reduction over the float leaves; the snapshot
-        # itself must be validated, not just the (pre-update) step loss —
-        # an update that lands non-finite at an eval iteration would
-        # otherwise poison last_good and every later rollback
+        # itself (params AND optimizer state — an inf Adam second moment
+        # keeps params finite while zeroing every later update) must be
+        # validated, not just the (pre-update) step loss — a poisoned
+        # snapshot would corrupt last_good and every later rollback
         leaves = [
             leaf for leaf in jax.tree.leaves(tree)
             if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
@@ -654,7 +655,9 @@ def train(
 
             # never persist a poisoned state: cfg.resume loads the NEWEST
             # checkpoint, so a NaN save would brick every resume attempt
-            if np.isfinite(float(train_loss)) and _all_finite(params):
+            if np.isfinite(float(train_loss)) and _all_finite(
+                (params, opt_state)
+            ):
                 save_state(
                     os.path.join(ckpt_dir, f"model_{it}"),
                     {"params": params, "opt_state": opt_state},
@@ -670,7 +673,9 @@ def train(
             # a non-finite loss rolls back to the last finite eval point
             # instead of letting NaNs poison the tables; the step key
             # stream has already advanced, so the retried steps resample
-            if not np.isfinite(float(train_loss)) or not _all_finite(params):
+            if not np.isfinite(float(train_loss)) or not _all_finite(
+                (params, opt_state)
+            ):
                 if last_good is None:
                     raise FloatingPointError(
                         f"non-finite loss {float(train_loss)} at iter {it} "

@@ -209,8 +209,11 @@ def main():
 
     roofline = {}
     if os.path.exists("ROOFLINE.json"):
-        with open("ROOFLINE.json") as f:
-            roofline = json.load(f)
+        try:
+            with open("ROOFLINE.json") as f:
+                roofline = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            roofline = {}  # truncated artifact from a killed writer
     roofline["fraction_of_gather_roofline_hm"] = {
         "gather_only_rows_per_s": round(gather_ceiling, 1),
         "fwd_Kloop_rows_per_s": round(fwd_rate, 1),
@@ -224,8 +227,9 @@ def main():
             "pattern (seg_gather_only) at H&M shape on this chip"
         ),
     }
-    with open("ROOFLINE.json", "w") as f:
+    with open("ROOFLINE.json.tmp", "w") as f:
         json.dump(roofline, f, indent=1)
+    os.replace("ROOFLINE.json.tmp", "ROOFLINE.json")
 
 
 if __name__ == "__main__":
