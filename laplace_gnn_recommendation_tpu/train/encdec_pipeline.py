@@ -278,8 +278,22 @@ def run_pipeline(
             losses.append(float(loss))
         # failure detection (SURVEY §5: absent in the reference — crashes
         # kill its runs): a non-finite epoch rolls back to the last good
-        # epoch-end state instead of poisoning the tables
-        if not np.isfinite(np.mean(losses)):
+        # epoch-end state instead of poisoning the tables. The snapshot
+        # itself is validated too (params AND optimizer state — an inf Adam
+        # second moment keeps params finite while zeroing later updates):
+        # the epoch losses come from PRE-update params, so the final
+        # update of the epoch could land non-finite with a finite mean
+        def _state_finite() -> bool:
+            leaves = [
+                leaf for leaf in jax.tree.leaves((params, bn_state, opt_state))
+                if hasattr(leaf, "dtype")
+                and jnp.issubdtype(leaf.dtype, jnp.floating)
+            ]
+            return bool(
+                jnp.all(jnp.stack([jnp.all(jnp.isfinite(x)) for x in leaves]))
+            )
+
+        if not np.isfinite(np.mean(losses)) or not _state_finite():
             if last_good is not None:
                 log_fn(
                     f"TRAIN | epoch: {epoch} | non-finite loss — rolling back "
