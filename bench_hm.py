@@ -40,7 +40,8 @@ DIM = 32
 K = 4
 BATCH = 32_768
 CONV_STEPS = 1000
-EVAL_EVERY = 50
+EVAL_EVERY = 25  # fine-grained best-val selection: the BPR peak is narrow
+# (HPO_HM.json: 25-step cadence catches it, 50-step cadence undershot ~30%)
 EVAL_CAP = 20_000
 TPU_STEPS = 10
 
