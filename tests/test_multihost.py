@@ -95,7 +95,10 @@ def _run_pair(port, art, cwd, cli_args):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            # generous bound: the 2-process jax init + compile takes ~2 min
+            # alone on this 2-core host but several times that when the
+            # suite shares the cores with another compile-heavy process
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
