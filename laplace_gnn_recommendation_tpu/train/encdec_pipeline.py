@@ -44,6 +44,24 @@ from .reporting import (
 )
 
 
+@jax.jit
+def _finite_all(tree) -> jnp.ndarray:
+    """ONE jitted global reduction: True iff every float leaf is finite.
+
+    Must be a single jit computation, not per-leaf eager ops: on a
+    multi-process mesh each eager op on a sharded array is its own global
+    computation, and interleaving many of them with in-flight collectives
+    deadlocks the XLA CPU rendezvous (the gotcha documented in the verify
+    notes). One jit = one computation, dispatched identically everywhere."""
+    leaves = [
+        x for x in jax.tree.leaves(tree)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+    ]
+    if not leaves:
+        return jnp.asarray(True)
+    return jnp.all(jnp.stack([jnp.all(jnp.isfinite(x)) for x in leaves]))
+
+
 def make_train_step(cfg: Config, data: LinkPredData, tx, mesh=None):
     """Fused jitted train step. With a multi-device ``mesh``, the per-user
     label grid (the decoder's [B, L] batch axis) is constrained onto the
@@ -283,17 +301,9 @@ def run_pipeline(
         # second moment keeps params finite while zeroing later updates):
         # the epoch losses come from PRE-update params, so the final
         # update of the epoch could land non-finite with a finite mean
-        def _state_finite() -> bool:
-            leaves = [
-                leaf for leaf in jax.tree.leaves((params, bn_state, opt_state))
-                if hasattr(leaf, "dtype")
-                and jnp.issubdtype(leaf.dtype, jnp.floating)
-            ]
-            return bool(
-                jnp.all(jnp.stack([jnp.all(jnp.isfinite(x)) for x in leaves]))
-            )
-
-        if not np.isfinite(np.mean(losses)) or not _state_finite():
+        if not np.isfinite(np.mean(losses)) or not bool(
+            _finite_all((params, bn_state, opt_state))
+        ):
             if last_good is not None:
                 log_fn(
                     f"TRAIN | epoch: {epoch} | non-finite loss — rolling back "

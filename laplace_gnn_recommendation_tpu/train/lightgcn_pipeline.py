@@ -629,18 +629,18 @@ def train(
             log_fn(f"| Resuming from checkpoint (iteration {start_it})...")
 
     def _all_finite(tree) -> bool:
-        # one fused device reduction over the float leaves; the snapshot
+        # ONE jitted global reduction over the float leaves; the snapshot
         # itself (params AND optimizer state — an inf Adam second moment
         # keeps params finite while zeroing every later update) must be
         # validated, not just the (pre-update) step loss — a poisoned
-        # snapshot would corrupt last_good and every later rollback
-        leaves = [
-            leaf for leaf in jax.tree.leaves(tree)
-            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
-        ]
-        if not leaves:
-            return True
-        return bool(jnp.all(jnp.stack([jnp.all(jnp.isfinite(x)) for x in leaves])))
+        # snapshot would corrupt last_good and every later rollback.
+        # Jitted, not eager: per-leaf eager ops on multi-process sharded
+        # arrays are each their own global computation and deadlock the
+        # XLA CPU rendezvous when interleaved (see encdec_pipeline.
+        # _finite_all, which this shares).
+        from .encdec_pipeline import _finite_all
+
+        return bool(_finite_all(tree))
 
     train_loss = jnp.zeros(())
     recall = precision = 0.0
