@@ -107,7 +107,7 @@ def make_cfg(**kw):
         hidden_layer_size=DIM, num_iterations=K, batch_size=BATCH,
         epochs=CONV_STEPS, eval_every=EVAL_EVERY,
         lr_decay_every=max(1, CONV_STEPS // 67),
-        learning_rate=5e-3, eval_user_cap=EVAL_CAP, Lambda=1e-6,
+        learning_rate=1e-2, eval_user_cap=EVAL_CAP, Lambda=1e-6,
         select_best_val=True,
         propagation="auto", dense_bytes_budget=4 << 30,  # 288 GB → blocked
     )
