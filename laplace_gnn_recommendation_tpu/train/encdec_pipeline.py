@@ -251,6 +251,11 @@ def run_pipeline(
             bn_state = state["bn_state"]
             opt_state = state["opt_state"]
             start_epoch = int(state["epoch"]) + 1
+            # decorrelate the resumed step-key stream from epoch 0's
+            # (mirrors lightgcn_pipeline's fold_in(key, start_it)): without
+            # this a resumed run replays the same dropout/negative-sampling
+            # keys it already consumed
+            key = jax.random.fold_in(key, start_epoch)
             log_fn(f"| Resuming from checkpoint (epoch {start_epoch})...")
 
     step = make_train_step(cfg, data, tx, mesh=mesh)
@@ -267,6 +272,7 @@ def run_pipeline(
     old_val_precision = -1.0
     val_recall = val_precision = 0.0
     losses: List[float] = [0.0]
+    loss_curve: List[float] = []
 
     from ..data.prefetch import prefetch
 
@@ -328,6 +334,7 @@ def run_pipeline(
         trunc_note = (
             f" | truncations: {trunc}" if any(trunc.values()) else ""
         )
+        loss_curve.append(float(np.mean(losses)))
         log_fn(f"TRAIN | epoch: {epoch} | loss: {np.mean(losses):.4f}{trunc_note}")
         report_results(
             ContinousStatsTrain(type="train", loss=float(np.mean(losses)), epoch=epoch),
@@ -393,6 +400,7 @@ def run_pipeline(
         precision_val=val_precision,
         precision_test=test_precision,
         truncations=agg,
+        loss_curve=loss_curve,
     )
     if return_state:
         return stats, params, bn_state

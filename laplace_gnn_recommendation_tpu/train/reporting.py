@@ -29,6 +29,11 @@ class Stats:
     precision_test: float
     truncations: Dict[str, int] = field(default_factory=dict)
     params: Optional[Any] = field(default=None, repr=False, compare=False)
+    # per-epoch mean train losses — lets callers assert on a robust
+    # statistic (e.g. mean of the last k epochs) instead of the single
+    # final-epoch value, which at tiny scales oscillates within a
+    # run-to-run variance band (SURVEY §7)
+    loss_curve: Optional[list] = field(default=None, repr=False, compare=False)
     """The run's final (post-model-selection) parameters, populated only
     when the pipeline's config sets ``return_params`` — benches and callers
     that score or serve the trained model read them from here instead of
