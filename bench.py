@@ -60,7 +60,7 @@ def bench_tpu(eu, ei, num_users, num_items):
     key = jax.random.PRNGKey(1)
 
     # warmup / compile
-    keys = jax.random.split(key, 3 * TPU_STEPS + 3)
+    keys = jax.random.split(key, 5 * TPU_STEPS + 3)
     params, opt_state, loss = step(params, opt_state, keys[0])
     loss.block_until_ready()
     params, opt_state, loss = step(params, opt_state, keys[1])
@@ -73,7 +73,7 @@ def bench_tpu(eu, ei, num_users, num_items):
     # weather in the round artifacts (VERDICT r3 weak #6)
     window_dts = []
     ki = 2
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(TPU_STEPS):
             params, opt_state, loss = step(params, opt_state, keys[ki])
@@ -83,13 +83,16 @@ def bench_tpu(eu, ei, num_users, num_items):
         # kept honest here the same way — see bench_kernels._sync)
         window_dts.append(time.perf_counter() - t0)
     edges_per_step = g.num_edges * K * 2  # both directions, forward pass
-    eps = [edges_per_step * TPU_STEPS / dt for dt in sorted(window_dts)]
+    eps = sorted(edges_per_step * TPU_STEPS / dt for dt in window_dts)
     band = {
-        "min": round(eps[-1], 1),   # slowest window → lowest rate
+        "min": round(eps[0], 1),
         "median": round(eps[len(eps) // 2], 1),
-        "max": round(eps[0], 1),
+        "max": round(eps[-1], 1),
     }
-    return eps[0], float(loss), band
+    # headline = the MEDIAN window, not the best one: the best window
+    # measures relay weather luck, the median measures the machine
+    # (VERDICT r4 weak #2)
+    return band["median"], float(loss), band
 
 
 def bench_torch_cpu(eu, ei, num_users, num_items, steps=CPU_STEPS, batch=BATCH):
@@ -156,11 +159,15 @@ def bench_torch_cpu(eu, ei, num_users, num_items, steps=CPU_STEPS, batch=BATCH):
         opt.step()
 
     step()  # warmup
-    t0 = time.perf_counter()
+    # per-step timings → median rate: a single-step measurement folds
+    # warm-up/allocator noise into the baseline (VERDICT r4 weak #7)
+    dts = []
     for _ in range(steps):
+        t0 = time.perf_counter()
         step()
-    dt = time.perf_counter() - t0
-    return len(eu) * K * 2 * steps / dt
+        dts.append(time.perf_counter() - t0)
+    dt = sorted(dts)[len(dts) // 2]
+    return len(eu) * K * 2 / dt
 
 
 def main():

@@ -308,9 +308,9 @@ def bench_cpu_measured(eu, ei, steps):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--torch-steps", type=int, default=1,
-                    help="measured torch-CPU baseline steps (0 = skip; each "
-                         "step is minutes at this scale)")
+    ap.add_argument("--torch-steps", type=int, default=3,
+                    help="measured torch-CPU baseline steps, median-timed "
+                         "(0 = skip; each step is minutes at this scale)")
     ap.add_argument("--steps", type=int, default=None,
                     help="override CONV_STEPS (wall-budget knob)")
     args = ap.parse_args()

@@ -105,7 +105,11 @@ def main():
                       "final", args.steps)
         )
 
-    best = max(rows, key=lambda r: r["best_val_recall@12_cap20k"])
+    # the winner is selected only among final-eval rows: recall under
+    # eval_embeddings='e0' is a different metric definition, so the e0
+    # incumbent row stays a comparison row, never a candidate winner
+    final_rows = [r for r in rows if r["eval_embeddings"] == "final"]
+    best = max(final_rows, key=lambda r: r["best_val_recall@12_cap20k"])
     payload = {
         "graph": {
             "num_users": data.num_users, "num_items": data.num_items,
