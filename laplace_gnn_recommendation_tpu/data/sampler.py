@@ -750,7 +750,16 @@ def parallel_epoch_batches(
         for t in threads:
             while t.is_alive():
                 try:
-                    out_q.get_nowait()
+                    i, item = out_q.get_nowait()
+                    if i < 0:
+                        # a worker failed after the consumer started closing:
+                        # don't swallow its exception — surface it (log only;
+                        # raising from a finally would mask the original exit)
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "sampler worker error during drain: %r", item
+                        )
                 except _queue.Empty:
                     pass
                 t.join(timeout=0.05)

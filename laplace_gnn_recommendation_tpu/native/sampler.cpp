@@ -136,8 +136,10 @@ std::atomic<int64_t> g_bfs_gen{1};
 // weighted (degree-biased) frontier selection — the standard GraphSAGE
 // compromise — and only engages on graphs whose popular items have tens of
 // thousands of users (H&M/at-scale shapes), where the exact path would scan
-// and sort 100k+ users per seed per hop. Small graphs (ML-1M, all golden/
-// parity tests) stay on the exact path bit-for-bit.
+// and sort 100k+ users per seed per hop. All golden/parity-test graphs stay
+// on the exact path bit-for-bit; ML-1M mostly does too, though a hot
+// frontier (num_neighbors popular movies at ~3.4k degree) can exceed the
+// cap and engage rejection for that hop.
 constexpr int64_t kExactFrontierScanCap = 32768;
 
 // one seed's N-hop BFS (fetch_n_hop_neighbourhood semantics,
@@ -176,7 +178,16 @@ void bfs_seed(
     if (total > kExactFrontierScanCap) {
       // rejection sampling over (article, position) occurrence slots —
       // degree-biased over distinct users; O(num_neighbors) instead of
-      // O(total + distinct·log distinct)
+      // O(total + distinct·log distinct).
+      //
+      // Documented semantic divergence from the exact path (beyond the
+      // degree bias): the exact path stamps EVERY scanned user seen —
+      // including scanned-but-unselected ones — so later hops never
+      // revisit them; this path never enumerates the unselected users, so
+      // it stamps only accepted ones and later hops may re-draw users the
+      // exact path would have excluded. Acceptable at the scales that
+      // engage this path (hop unions ≫ num_neighbors, so the revisit
+      // probability is tiny).
       sc.cut_buf.clear();
       const int64_t cap = 24 * (int64_t)num_neighbors + 64;
       for (int64_t attempts = 0;
@@ -193,6 +204,33 @@ void bfs_seed(
         if (sc.explored_stamp[u2] == gen || sc.seen_stamp[u2] == gen) continue;
         sc.seen_stamp[u2] = gen;
         sc.cut_buf.push_back(u2);
+      }
+      if ((int64_t)sc.cut_buf.size() < num_neighbors) {
+        // the attempt cap under-filled the hop — unseen users are a small
+        // fraction of a huge occurrence total (heavy revisit pressure).
+        // Fall back to the exact scan for the REMAINING slots instead of
+        // silently shrinking the frontier: enumerate unseen users once
+        // and uniform-cut them (rejection-accepted users keep their
+        // slots; the scan skips them via seen_stamp).
+        sc.new_users.clear();
+        for (int32_t a : sc.articles_queue) {
+          const int64_t lo = item_row_ptr[a], hi = item_row_ptr[a + 1];
+          for (int64_t e = lo; e < hi; ++e) {
+            const int32_t u2 = item_cols[e];
+            if (sc.explored_stamp[u2] != gen && sc.seen_stamp[u2] != gen) {
+              sc.seen_stamp[u2] = gen;
+              sc.new_users.push_back(u2);
+            }
+          }
+        }
+        std::sort(sc.new_users.begin(), sc.new_users.end());  // determinism
+        // new_articles is free until the next hop refills it — reuse as
+        // the remainder buffer (sample_cut clears its out vector)
+        sample_cut(sc.new_users.data(), (int64_t)sc.new_users.size(),
+                   num_neighbors - (int64_t)sc.cut_buf.size(), rng,
+                   sc.new_articles);
+        sc.cut_buf.insert(sc.cut_buf.end(), sc.new_articles.begin(),
+                          sc.new_articles.end());
       }
     } else {
       sc.new_users.clear();

@@ -170,6 +170,35 @@ class TestRejectionFrontier:
         np.testing.assert_array_equal(a[0], b[0])
         np.testing.assert_array_equal(a[1], b[1])
 
+    def test_underfill_falls_back_to_exact_scan(self):
+        """When rejection's attempt cap under-fills a hop (unseen users are
+        a tiny fraction of a huge occurrence total), the exact-scan fallback
+        must top the frontier up to num_neighbors instead of silently
+        shrinking it.
+
+        Shape: 820 users × 40 articles, every article connected to every
+        user. Hop-1 frontier = 40 articles → 32,800 occurrences (> the 32,768
+        exact-scan cap) over only 819 unseen users, so rejection's acceptance
+        rate is ~2.5% and its 24·40+64 = 1,064 attempts accept ~26 users —
+        without the fallback the hop would be under-filled with overwhelming
+        probability; with it the hop must hold exactly num_neighbors users.
+        """
+        n_u, n_i, fanout = 820, 40, 40
+        eu = np.repeat(np.arange(n_u, dtype=np.int64), n_i)
+        ei = np.tile(np.arange(n_i, dtype=np.int64), n_u)
+        ucsr = HostCSR.from_edges(eu, ei, n_u, n_i)
+        icsr = HostCSR.from_edges(ei, eu, n_i, n_u)
+        for rng_seed in (0, 7, 123):
+            src, dst, off = native.nhop_sample(
+                ucsr.row_ptr, ucsr.cols, icsr.row_ptr, icsr.cols,
+                n_u, n_i, np.array([0]), 2, fanout, rng_seed,
+            )
+            hop1_users = np.unique(src[off[0]: off[1]])
+            assert len(hop1_users) == fanout, (
+                f"under-filled frontier: {len(hop1_users)} < {fanout}"
+            )
+            assert 0 not in hop1_users  # the seed is never revisited
+
     def test_full_assembly_on_hub_graph(self, hub_csrs):
         """The whole native batch assembly stays consistent on the hub
         shape (slot maps valid, labels reference real slots)."""
