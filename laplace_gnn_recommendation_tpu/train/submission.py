@@ -22,21 +22,31 @@ from .checkpoint import load_latest
 
 
 def make_predictions(
-    cfg: Config, params, bn_state, data: LinkPredData, test_sampler
+    cfg: Config, params, bn_state, data: LinkPredData, test_sampler, mesh=None
 ) -> Dict[int, np.ndarray]:
     """Per-user top-k candidate article ids (global contiguous ids).
 
     Positive-labeled edges are excluded from ranking (reference
     ``run_submission.py:59-66`` keeps only ``edge_label == 0``).
-    """
+    With a multi-device ``mesh`` whose model axis is >1, inference goes
+    through the sharded feature-table lookups (same contract as
+    ``encdec_pipeline.make_eval_step``)."""
     uf, itf = data.user_features, data.item_features
     uff, iff = data.user_features_float, data.item_features_float
+
+    model_mesh = None
+    if mesh is not None:
+        from ..parallel.mesh import MODEL_AXIS
+
+        if mesh.shape[MODEL_AXIS] > 1:
+            model_mesh = mesh
 
     @jax.jit
     def predict(params, bn_state, batch):
         scores = sage.infer(
             params, bn_state, batch, uf, itf, cfg,
             user_features_float=uff, item_features_float=iff,
+            mesh=model_mesh,
         )
         scores = jnp.where(batch.label == 0, scores, sage.INFER_PAD)
         k = min(cfg.k, scores.shape[1])
@@ -93,6 +103,7 @@ def submission_pipeline(
     model_dir: str = "model/saved",
     out_path: str = "data/derived/submission.csv",
     params_bn: Optional[Tuple] = None,
+    mesh=None,
 ) -> str:
     """Full submission flow — reference ``run_submission.py:78-92``.
 
@@ -118,7 +129,7 @@ def submission_pipeline(
     _, _, test_sampler = create_samplers(cfg, data)
 
     print("| Making Predictions...")
-    preds = make_predictions(cfg, params, bn_state, data, test_sampler)
+    preds = make_predictions(cfg, params, bn_state, data, test_sampler, mesh=mesh)
 
     print("| Mapping to raw ids...")
     customers, pred_strs = map_to_raw_ids(
