@@ -183,6 +183,68 @@ def run_study(
     return best_params
 
 
+def run_successive_halving(
+    objective: Callable[[Config, int, str], float],
+    base: Config,
+    param_sets: Optional[List[Dict]] = None,
+    n_trials: int = 8,
+    rungs=(300, 1000),
+    eta: int = 2,
+    work_dir: str = "output/sh",
+    seed: int = 0,
+    search_space: Optional[Dict[str, list]] = None,
+    log_fn=print,
+) -> Dict:
+    """Multi-stage HPO with early termination — the reference's hyperband
+    counterpart (``sweep.yaml:24-27`` early_terminate: hyperband; optuna's
+    pruning semantics in ``run_hpo.py:55-58``).
+
+    ``objective(cfg, budget, trial_dir)`` must train the trial to TOTAL
+    ``budget`` steps — resuming its own prior state from ``trial_dir`` when
+    present (wire ``cfg.artifact_dir=trial_dir, cfg.resume=True,
+    cfg.checkpoint_every=budget-1`` into ``lightgcn_pipeline.train`` and a
+    rung-2 call continues rung-1's optimizer state instead of restarting) —
+    and return the value to MINIMIZE.
+
+    Each rung evaluates the surviving trials at ``rungs[r]`` cumulative
+    steps and keeps the top ``1/eta`` fraction. ``param_sets`` gives
+    explicit stage-designed candidates; otherwise ``n_trials`` are sampled
+    from the search space. Returns ``{"best": .., "best_value": ..,
+    "history": [...]}`` with one history row per (rung, trial).
+    """
+    if param_sets is None:
+        rng = np.random.default_rng(seed)
+        space = search_space if search_space is not None else resolve_search_space()
+        param_sets = [sample_trial(rng, space) for _ in range(n_trials)]
+    survivors = list(enumerate(param_sets))
+    history: List[Dict] = []
+    best_params: Dict = {}
+    best_val = float("inf")
+    for r, budget in enumerate(rungs):
+        results = []
+        for tid, params in survivors:
+            cfg = make_trial_config(base, params)
+            tdir = os.path.join(work_dir, f"trial_{tid}")
+            os.makedirs(tdir, exist_ok=True)
+            val = float(objective(cfg, int(budget), tdir))
+            results.append((val, tid, params))
+            history.append(
+                {"rung": r, "budget": int(budget), "trial": tid, "value": val,
+                 **params}
+            )
+            log_fn(f"| rung {r} (budget {budget}) trial {tid}: value={val:.5f}")
+        results.sort(key=lambda t: t[0])
+        if results and results[0][0] < best_val:
+            best_val, best_params = results[0][0], results[0][2]
+        keep = max(1, len(results) // eta)
+        survivors = [(tid, p) for _, tid, p in results[:keep]]
+        log_fn(
+            f"| rung {r} done: keeping {keep}/{len(results)} -> trials "
+            f"{[tid for tid, _ in survivors]}"
+        )
+    return {"best": best_params, "best_value": best_val, "history": history}
+
+
 def run_hpo(artifact_dir: str, n_trials: int = 40) -> Dict:
     """End-to-end HPO over the encoder-decoder pipeline — reference
     ``run_hpo.py`` settings (epochs=4, eval_every=4, break_at=50)."""
