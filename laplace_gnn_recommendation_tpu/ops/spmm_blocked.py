@@ -678,16 +678,14 @@ def lightgcn_propagate_blocked(
     """K-iteration multi-scale mean on the blocked layout (same contract as
     ``spmm.lightgcn_propagate``).
 
-    Memory: ``propagate_blocked``'s custom VJP keeps no per-iteration
-    residuals (the operator is linear; backward reuses the forward kernel on
-    the cotangents), so the live set is one [C, E_c, D] message block at a
-    time regardless of K — the property that lets H&M-scale training fit a
+    The whole loop carries ONE self-adjoint custom VJP
+    (``ops/multiscale.py``): backward = the identical K-loop on the
+    cotangents — no per-iteration cotangent chains, no residuals (the
+    operator is linear), so the live set is one [C, E_c, D] message block
+    regardless of K — the property that lets H&M-scale training fit a
     16 GB chip."""
-    acc_u, acc_i = user_emb0, item_emb0
-    eu, ei = user_emb0, item_emb0
-    for _ in range(num_iterations):
-        eu, ei = propagate_blocked(bg, eu, ei)
-        acc_u = acc_u + eu
-        acc_i = acc_i + ei
-    scale = 1.0 / (num_iterations + 1)
-    return acc_u * scale, acc_i * scale
+    from .multiscale import self_adjoint_multiscale
+
+    return self_adjoint_multiscale(
+        propagate_blocked, bg, user_emb0, item_emb0, num_iterations
+    )

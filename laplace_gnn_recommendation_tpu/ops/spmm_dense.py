@@ -85,12 +85,11 @@ def lightgcn_propagate_dense(
     num_iterations: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """K-iteration multi-scale mean, dense path (same contract as
-    ``spmm.lightgcn_propagate``)."""
-    acc_u, acc_i = user_emb0, item_emb0
-    eu, ei = user_emb0, item_emb0
-    for _ in range(num_iterations):
-        eu, ei = propagate_dense(d, eu, ei)
-        acc_u = acc_u + eu
-        acc_i = acc_i + ei
-    scale = 1.0 / (num_iterations + 1)
-    return acc_u * scale, acc_i * scale
+    ``spmm.lightgcn_propagate``). Whole-loop self-adjoint VJP: the bf16
+    (Ã, Ãᵀ) pair is exactly mutually transposed (elementwise rounding
+    commutes with transposition), so backward = this loop on cotangents."""
+    from .multiscale import self_adjoint_multiscale
+
+    return self_adjoint_multiscale(
+        propagate_dense, d, user_emb0, item_emb0, num_iterations
+    )

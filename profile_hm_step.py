@@ -175,22 +175,43 @@ def main():
     f_prop = jax.jit(lambda b, u, i: propagate_blocked(b, u, i))
     dt_p = timed("propagate_blocked (both dirs)", f_prop, bg, u32, i32)
 
-    def fwd(b, u, i):
-        au, ai = u, i
-        for _ in range(K):
-            u, i = propagate_blocked(b, u, i)
-            au, ai = au + u, ai + i
-        return au, ai
+    # PRODUCTION K-loop: lightgcn_propagate_blocked carries the whole-loop
+    # self-adjoint VJP (ops/multiscale.py) — backward is ONE forward on the
+    # cotangents. The inline unrolled loop (per-iteration VJP chains, the
+    # round-4 path) is kept as a comparison row.
+    from laplace_gnn_recommendation_tpu.ops.spmm_blocked import (
+        lightgcn_propagate_blocked,
+    )
 
-    f_fwd = jax.jit(fwd)
+    f_fwd = jax.jit(lambda b, u, i: lightgcn_propagate_blocked(b, u, i, K))
     dt_f = timed(f"K={K} forward", f_fwd, bg, u32, i32)
 
     def loss(u, i, b):
-        au, ai = fwd(b, u, i)
+        au, ai = lightgcn_propagate_blocked(b, u, i, K)
         return jnp.sum(au[:128] @ ai[:128].T)
 
     f_vg = jax.jit(lambda u, i, b: jax.value_and_grad(loss, argnums=(0, 1))(u, i, b))
     dt_vg = timed("value_and_grad(K-loop + toy head)", f_vg, u32, i32, bg)
+
+    def fwd_inline(b, u, i):
+        au, ai = u, i
+        for _ in range(K):
+            u, i = propagate_blocked(b, u, i)
+            au, ai = au + u, ai + i
+        return au * (1.0 / (K + 1)), ai * (1.0 / (K + 1))
+
+    def loss_inline(u, i, b):
+        au, ai = fwd_inline(b, u, i)
+        return jnp.sum(au[:128] @ ai[:128].T)
+
+    f_vg_old = jax.jit(
+        lambda u, i, b: jax.value_and_grad(loss_inline, argnums=(0, 1))(u, i, b)
+    )
+    dt_vg_old = timed(
+        "value_and_grad(inline loop, per-iter VJP)", f_vg_old, u32, i32, bg
+    )
+    print(f"whole-loop VJP speedup over per-iter: {dt_vg_old/dt_vg:.2f}x",
+          flush=True)
     fwd_rate = e * K * 2 / dt_f
     fb_rate = e * K * 4 / dt_vg
     gather_ceiling = e / dt_g  # rows/s, pure gather+multiply of this pattern

@@ -167,6 +167,45 @@ class TestBlockedSegmentSum:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
+    def test_kloop_gradient_parity_self_adjoint_vjp(self, setup):
+        """The whole-loop self-adjoint VJP (ops/multiscale.py) must match
+        autodiff through the plain tier's unrolled loop — for both the
+        blocked tier and the dense tier, at K>1 where the per-iteration
+        cotangent chain differs most from the single forward-on-cotangents."""
+        from laplace_gnn_recommendation_tpu.ops.spmm import lightgcn_propagate
+        from laplace_gnn_recommendation_tpu.ops.spmm_blocked import (
+            lightgcn_propagate_blocked,
+        )
+        from laplace_gnn_recommendation_tpu.ops.spmm_dense import (
+            DenseAdjacency,
+            lightgcn_propagate_dense,
+        )
+
+        g, bg, eu, ei, xu, xi = setup
+        d = DenseAdjacency.from_graph(g)
+        t = jnp.asarray(
+            np.random.default_rng(5).normal(size=(70, 8)).astype(np.float32)
+        )
+
+        def loss(fwd, op):
+            def f(u, i):
+                a, b = fwd(op, u, i, 3)
+                return jnp.sum(a * t) + jnp.sum(b[:40] ** 2)
+            return f
+
+        g_plain = jax.grad(loss(lightgcn_propagate, g), (0, 1))(xu, xi)
+        g_blk = jax.grad(loss(lightgcn_propagate_blocked, bg), (0, 1))(xu, xi)
+        g_dense = jax.grad(loss(lightgcn_propagate_dense, d), (0, 1))(xu, xi)
+        for a, b in zip(g_plain, g_blk):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+        for a, b in zip(g_plain, g_dense):
+            # bf16 adjacency → looser band (matches the fwd parity band)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2
+            )
+
     def test_forward_dispatch_and_fallback(self, setup):
         g, bg, *_ = setup
         params = init_lightgcn(jax.random.PRNGKey(0), 70, 50, 8)
