@@ -102,6 +102,7 @@ def hits_at_k(
     split: str = "val",
     batch_size: int = 512,
     mesh=None,
+    user_cap: Optional[int] = None,
 ) -> float:
     """LatestNNRecommender + HITS@k (reference ``pinsage/evaluation.py:8-73``):
     for each user, rank items by similarity to their latest train item,
@@ -131,6 +132,11 @@ def hits_at_k(
         u for u in range(data.num_users)
         if len(gt[u]) > 0 and data.latest_item_per_user[u] >= 0
     ]
+    if user_cap is not None and len(users) > user_cap:
+        # deterministic evenly-spaced cap (the at-scale eval convention of
+        # lightgcn_pipeline's capped metric sweeps)
+        users = [users[i] for i in
+                 np.linspace(0, len(users) - 1, user_cap).astype(np.int64)]
     max_deg = max((data.user_csr.degree(u) for u in users), default=1)
 
     for s in range(0, len(users), batch_size):
@@ -291,11 +297,22 @@ def train(
 
     loss = jnp.zeros(())
     val_hits = 0.0
+    from ..data.prefetch import prefetch
+
     for epoch in range(cfg.num_epochs):
-        for _ in range(cfg.batches_per_epoch):
-            batch = sampler.sample_train_batch()
-            if batch is None:
-                continue
+        # host sampling + host→device upload overlap the device step via a
+        # prefetch thread with an async device_put transform — the
+        # serialized sample→upload→step loop left the device idle most of
+        # each step at full-catalog scale (see ROOFLINE.json pinsage_step)
+        def _epoch_batches():
+            for _ in range(cfg.batches_per_epoch):
+                b = sampler.sample_train_batch()
+                if b is not None:
+                    yield b
+
+        for batch in prefetch(
+            _epoch_batches(), buffer_size=2, transform=jax.device_put
+        ):
             key, k_step = jax.random.split(key)
             params, opt_state, loss = step(params, opt_state, batch, k_step)
         h_item = embed_all_items(
