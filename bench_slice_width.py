@@ -72,9 +72,16 @@ def main():
         lambda p, t: blocked_segment_sum(p, t, gather_bf16=True)
     )
 
+    import sys
+
+    widths = (
+        [int(x) for x in sys.argv[1:]]
+        if len(sys.argv) > 1
+        else [262144, 131072, 65536, 32768]
+    )
     results = {"edges": int(e), "to_item_sweep": []}
     ref = None
-    for slice_rows in (262144, 131072, 65536, 32768):
+    for slice_rows in widths:
         t0 = time.perf_counter()
         plan = BlockedSegmentPlan.from_edges_src_sliced(
             dst_i, src_u, w_i, NUM_ITEMS, NUM_USERS,

@@ -241,12 +241,16 @@ class BlockedSegmentPlan:
         edges_per_chunk: int = 128,
         rows_per_chunk: int = 8,
         chunk_bucket: int = 1024,
-        slice_rows: int = 131072,
+        slice_rows: int = 262144,
         sorted_combine: bool = False,
     ) -> "BlockedSegmentPlan":
         """Partition the edges by SOURCE-row slice so the device gathers
         from ≤``slice_rows``-row table windows — the fast zone of the XLA
-        gather engine (see the field comment). Within each slice the
+        gather engine (see the field comment). The default width comes from
+        a measured sweep at H&M shape (SLICE_SWEEP.json, bf16 64B rows):
+        262144 → 269M rows/s is the knee; 131072 → 236M (more scan steps +
+        pad chunks), 65536 → 170M, and the cliff is sharp above — 524288 →
+        102M, unsliced 1.37M → 75M. Within each slice the
         dst-sorted order is preserved (stable filtering of a sorted list),
         so the per-slice chunking is the ordinary plan; all slices pad to
         one chunk count and stack. Sliced plans always combine by scatter
