@@ -53,7 +53,8 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    items_padded = -(-NUM_ITEMS // 512) * 512
+    # pad to the largest swept tile so every tile width divides evenly
+    items_padded = -(-NUM_ITEMS // 2048) * 2048
     item = jnp.asarray(rng.normal(size=(items_padded, DIM)).astype(np.float32))
     users = jnp.asarray(rng.normal(size=(B, DIM)).astype(np.float32))
     q_items, scales = row_quantize(item)
@@ -86,6 +87,22 @@ def main():
 
     rows["f32_pallas_streaming_ms"] = timed(
         "f32 Pallas streaming", f32_stream, users, item, ex, exc
+    ) * 1e3
+
+    from laplace_gnn_recommendation_tpu.ops.topk import mips_topk_int8
+
+    @jax.jit
+    def int8_xla(u, qi, sc, ex_, exc_):
+        b = u.shape[0]
+        tail = jnp.arange(NUM_ITEMS, items_padded, dtype=jnp.int32)
+        ex_full = jnp.concatenate(
+            [jnp.broadcast_to(tail, (b, tail.shape[0])), ex_], axis=1
+        )
+        return mips_topk_int8(u, qi, sc, K, ex_full, exc_ + tail.shape[0])
+
+    rows["int8_xla_materializing_ms"] = timed(
+        "int8 XLA materializing (server fast path)", int8_xla,
+        users, q_items, scales, ex, exc
     ) * 1e3
 
     for tile in (512, 1024, 2048):

@@ -111,6 +111,14 @@ class Config:
     # convs ride the MXU instead of edge gathers + segment sums
     # (models/sage.py encode); 0 disables. f32 A + Aᵀ must fit.
     dense_bytes_budget: int = 256 << 20
+    # probed pad budgets: N>0 samples N batches per split at build time and
+    # tightens the node/edge pad budgets to observed-max × 1.5 (bounded by
+    # the static worst-case derivation). The static formula over-provisions
+    # ~10-20× on power-law graphs (it models per-seed worst cases with no
+    # cross-seed sharing), and every conv segment-sum pays for the padding;
+    # the runtime truncation telemetry remains the correctness guard.
+    # 0 = static budgets (bit-stable shapes across runs).
+    budget_probe: int = 0
 
     def print(self) -> None:
         print("\nConfiguration is:")

@@ -194,6 +194,50 @@ def create_link_pred_data_from_artifacts(
     return data, a
 
 
+def _probe_budgets(cfg, data, budgets, seed, randomization):
+    """Tighten the big pad budgets to probed usage (``cfg.budget_probe``).
+
+    Samples ``budget_probe`` batches per split under the static worst-case
+    budgets and shrinks the node/edge slots to observed-max × 1.5 (rounded
+    up to 128, never above the static derivation). The label grid stays at
+    the static width — it is exact-by-construction for eval and small
+    anyway. Runtime truncation counters remain the correctness guard for
+    batches beyond the probed margin (surfaced per epoch and in Stats).
+    """
+    import dataclasses as dc
+
+    rng = np.random.default_rng((seed + 1) * 7919)
+    max_u = max_i = max_e = 1
+    for split, train, matchers in (
+        ("train", True, None),
+        ("val", False, data.matchers["val"]),
+        ("test", False, data.matchers["test"]),
+    ):
+        adj = data.splits[split]
+        s = SubgraphSampler(
+            cfg, adj.user_csr, adj.item_csr, train=train, matchers=matchers,
+            randomization=randomization, seed=seed + 31, budgets=budgets,
+        )
+        for _ in range(int(cfg.budget_probe)):
+            b = s.sample_batch(
+                rng.integers(0, data.num_users, cfg.batch_size)
+            )
+            max_u = max(max_u, int(np.asarray(b.user_mask).sum()))
+            max_i = max(max_i, int(np.asarray(b.item_mask).sum()))
+            max_e = max(max_e, int(np.asarray(b.edge_mask).sum()))
+
+    def shrink(derived, observed):
+        padded = -(-int(observed * 1.5) // 128) * 128
+        return min(derived, max(padded, 128))
+
+    return dc.replace(
+        budgets,
+        num_user_slots=shrink(budgets.num_user_slots, max_u),
+        num_item_slots=shrink(budgets.num_item_slots, max_i),
+        num_edges=shrink(budgets.num_edges, max_e),
+    )
+
+
 def create_samplers(
     cfg: Config, data: LinkPredData, seed: int = 0, randomization: bool = True,
     graph_store=None,
@@ -215,6 +259,8 @@ def create_samplers(
         cfg, max_deg, max(len(m) for m in data.matchers.values()),
         num_users=data.num_users, num_items=data.num_items,
     )
+    if cfg.budget_probe and graph_store is None:
+        budgets = _probe_budgets(cfg, data, budgets, seed, randomization)
 
     def make(split: str, train: bool, matchers, seed_off: int):
         adj = data.splits[split]

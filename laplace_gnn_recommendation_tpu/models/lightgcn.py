@@ -69,12 +69,17 @@ def lightgcn_forward(
     segment-sum path.
     """
     from ..ops.spmm_blocked import BlockedGraph, lightgcn_propagate_blocked
+    from ..ops.spmm_pallas import PallasGraph, lightgcn_propagate_pallas
     from ..ops.spmm_sharded import (
         ShardedBipartiteGraph,
         lightgcn_propagate_sharded,
     )
 
-    if isinstance(graph, DenseAdjacency):
+    if isinstance(graph, PallasGraph):
+        users_final, items_final = lightgcn_propagate_pallas(
+            graph, params.user_emb, params.item_emb, num_iterations
+        )
+    elif isinstance(graph, DenseAdjacency):
         users_final, items_final = lightgcn_propagate_dense(
             graph, params.user_emb, params.item_emb, num_iterations
         )

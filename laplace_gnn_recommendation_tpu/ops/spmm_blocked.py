@@ -75,11 +75,22 @@ class BlockedSegmentPlan:
     # table — 75% of the whole segsum); the sorted combine costs one cumsum
     # (13 ms) + one boundary gather (65 ms total), 4.4× faster. Requires the
     # flattened row_ids to be non-decreasing, so it is only set on UNSLICED
-    # plans (src-sliced plans restart row order per slice and keep scatter —
-    # their outputs are small, where scatter is cheap: 10 ms at 350k→105k).
+    # plans (src-sliced plans restart row order per slice — they combine by
+    # the PER-SLICE sorted path below when ``slice_ends`` is present, else
+    # by scatter).
     sorted_combine: bool = dataclasses.field(
         metadata=dict(static=True), default=False
     )
+    # Per-slice sorted combine for src-sliced plans (small outputs): row
+    # order restarts per slice, but WITHIN a slice the flattened row_ids
+    # are non-decreasing, so each slice combines by cumsum + boundary
+    # difference and the slice outputs sum. ``slice_ends[s, r]`` = index of
+    # row r's LAST partial slot within slice s's flattened layout (-1 /
+    # previous boundary when the slice holds no partial for r → zero diff).
+    # Kills the residual scatter (38 ms → ~10 ms at H&M's 1.96M partials →
+    # 105k items). Built only when num_rows is small enough that the
+    # per-slice boundary gather stays in the gather fast zone.
+    slice_ends: Optional[jnp.ndarray] = None
 
     @staticmethod
     def _plan_np(
@@ -318,16 +329,33 @@ class BlockedSegmentPlan:
                 ]
             )
 
+        rows_stacked = pad_stack(3, num_rows)
+        slice_ends = None
+        if num_rows <= BlockedGraph.SRC_SLICE_THRESHOLD:
+            # per-slice boundary index for the sorted combine (see field
+            # doc): within each slice the flattened row_ids are
+            # non-decreasing (pad chunks carry num_rows, sorted last)
+            flat_per_slice = rows_stacked.reshape(
+                s_count, cmax * rows_per_chunk
+            )
+            e1 = np.stack([
+                np.searchsorted(flat_per_slice[s], np.arange(num_rows),
+                                side="right")
+                for s in range(s_count)
+            ])  # [s_n, num_rows], values in [0, P_s]
+            slice_ends = jnp.asarray((e1 - 1).astype(np.int32))
+
         return BlockedSegmentPlan(
             src=jnp.asarray(pad_stack(0, 0)),
             w=jnp.asarray(pad_stack(1, 0.0)),
             local_row=jnp.asarray(pad_stack(2, 0)),
-            row_ids=jnp.asarray(pad_stack(3, num_rows)),
+            row_ids=jnp.asarray(rows_stacked),
             num_rows=num_rows,
             edges_per_chunk=edges_per_chunk,
             rows_per_chunk=rows_per_chunk,
             src_slice_rows=slice_rows,
             num_src_slices=s_count,
+            slice_ends=slice_ends,
         )
 
 
@@ -480,6 +508,21 @@ def blocked_segment_sum(
             )
 
         _, partials = jax.lax.scan(body, 0, (src3, w3, loc3, offs))
+        if plan.slice_ends is not None:
+            # per-slice sorted combine (see the slice_ends field doc):
+            # each slice's flattened partials are row-sorted, so
+            # out[r] = Σ_s (S_s[end_{s,r}+1] − S_s[end_{s,r'}+1]) with S_s
+            # the slice cumsum — no scatter. The boundary diff telescopes
+            # per slice exactly like _combine_sorted.
+            part = partials.reshape(s_n, cs * r_c, d)
+            s_cum = jnp.cumsum(part.astype(jnp.float32), axis=1)
+            z = jnp.zeros((s_n, 1, d), jnp.float32)
+            s0 = jnp.concatenate([z, s_cum], axis=1)       # [s_n, P_s+1, D]
+            g = jnp.take_along_axis(
+                s0, (plan.slice_ends + 1)[..., None].astype(jnp.int32), axis=1
+            )                                              # [s_n, R, D]
+            gprev = jnp.concatenate([z, g[:, :-1]], axis=1)
+            return jnp.sum(g - gprev, axis=0)
         out = jnp.zeros((plan.num_rows, d), jnp.float32)
         return out.at[plan.row_ids.reshape(-1)].add(
             partials.reshape(-1, d), mode="drop"

@@ -292,12 +292,10 @@ def lightgcn_propagate_pallas(
     item_emb0: jnp.ndarray,
     num_iterations: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """K-iteration multi-scale mean (contract of ``spmm.lightgcn_propagate``)."""
-    acc_u, acc_i = user_emb0, item_emb0
-    eu, ei = user_emb0, item_emb0
-    for _ in range(num_iterations):
-        eu, ei = propagate_pallas(pg, eu, ei)
-        acc_u = acc_u + eu
-        acc_i = acc_i + ei
-    scale = 1.0 / (num_iterations + 1)
-    return acc_u * scale, acc_i * scale
+    """K-iteration multi-scale mean (contract of ``spmm.lightgcn_propagate``),
+    with the whole-loop self-adjoint VJP (``ops/multiscale.py``)."""
+    from .multiscale import self_adjoint_multiscale
+
+    return self_adjoint_multiscale(
+        propagate_pallas, pg, user_emb0, item_emb0, num_iterations
+    )

@@ -142,6 +142,33 @@ SCORES_BYTES_BUDGET = 512 << 20
 STREAMING_MAX_BATCH = 512
 
 
+def mips_topk_int8(
+    user_emb: jnp.ndarray,     # f32 [B, D]
+    q_items: jnp.ndarray,      # int8 [I, D] (topk_pallas.row_quantize)
+    item_scales: jnp.ndarray,  # f32 [1, I]
+    k: int,
+    exclude_items: Optional[jnp.ndarray] = None,
+    exclude_count: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Materializing retrieval over an int8 catalog: int8×int8 MXU scoring
+    (users row-quantized on the fly), dequantize, masked hierarchical
+    top-k. The quantized tier's FAST path wherever the [B, I] scores matrix
+    fits — on-device measurement (BENCH_SERVING device_amortized) shows
+    retrieval at serving shapes is scores/top-k bound, not catalog-
+    bandwidth bound, so the materializing form beats the streaming fold
+    ~2.3× while the int8 catalog still cuts HBM capacity 4×."""
+    from .topk_pallas import row_quantize
+
+    qu, su = row_quantize(user_emb)
+    raw = jax.lax.dot_general(
+        qu, q_items,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = raw.astype(jnp.float32) * su.reshape(-1, 1) * item_scales
+    return masked_topk(scores, k, exclude_items, exclude_count)
+
+
 def auto_mips_topk(
     user_emb: jnp.ndarray,
     item_emb: jnp.ndarray,

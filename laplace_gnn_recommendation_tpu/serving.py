@@ -123,6 +123,7 @@ class RetrievalServer:
                     num_valid_items=num_items_true,
                 )
         elif self.quantized:
+            from .ops.topk import SCORES_BYTES_BUDGET, mips_topk_int8
             from .ops.topk_pallas import (
                 exclusion_mask,
                 streaming_mips_topk_int8,
@@ -136,11 +137,36 @@ class RetrievalServer:
                     (b, items_padded),
                 )
 
+            # materializing int8 scoring wherever the [B, I] scores fit —
+            # the measured fast form (BENCH_SERVING device_amortized: the
+            # streaming fold is VPU-bound and ~2.3× slower at serving
+            # shapes); the streaming kernel serves the memory-constrained
+            # regime, same dispatch rule as auto_mips_topk
+            materialize = (
+                self.batch_size * items_padded * 4 <= SCORES_BYTES_BUDGET
+            )
+            # pad rows quantize to scale 0 → dequantized score 0, which can
+            # outrank negative real scores: mask the tail explicitly
+            tail_ex = jnp.arange(num_items_true, items_padded, dtype=jnp.int32)
+
             # the quantized tables ride as ARGUMENTS, not jit-closure
             # constants (closure-jit over large device buffers degrades
             # later Pallas launches on the axon relay — see bench_kernels)
             @partial(jax.jit, static_argnames=("k",))
             def _q_step(uvec, q_items, scales, ex, exc, k):
+                if materialize:
+                    b = uvec.shape[0]
+                    # tail exclusions FIRST: exclude_count validity is
+                    # positional (slots [0, count)), and the real exclusion
+                    # lists pack their valid entries first
+                    ex_full = jnp.concatenate(
+                        [jnp.broadcast_to(tail_ex, (b, tail_ex.shape[0])), ex],
+                        axis=1,
+                    ) if has_tail else ex
+                    exc_full = exc + tail_ex.shape[0] if has_tail else exc
+                    return mips_topk_int8(
+                        uvec, q_items, scales, k, ex_full, exc_full
+                    )
                 mask = exclusion_mask(items_padded, ex, exc)
                 if has_tail:
                     mask = jnp.maximum(mask, _tail_mask(uvec.shape[0]))
@@ -150,6 +176,15 @@ class RetrievalServer:
 
             @partial(jax.jit, static_argnames=("k",))
             def _q_step_plain(uvec, q_items, scales, k):
+                if materialize:
+                    b = uvec.shape[0]
+                    if has_tail:
+                        return mips_topk_int8(
+                            uvec, q_items, scales, k,
+                            jnp.broadcast_to(tail_ex, (b, tail_ex.shape[0])),
+                            jnp.full((b,), tail_ex.shape[0], jnp.int32),
+                        )
+                    return mips_topk_int8(uvec, q_items, scales, k)
                 mask = _tail_mask(uvec.shape[0]) if has_tail else None
                 return streaming_mips_topk_int8(
                     uvec, q_items, scales, k, excl_mask=mask

@@ -100,6 +100,19 @@ def select_propagation(cfg: LightGCNConfig, graph: BipartiteGraph, mesh=None):
         from ..ops.spmm_blocked import BlockedGraph
 
         return _maybe_bf16(BlockedGraph.from_graph(graph), graph)
+    if mode == "pallas":
+        # Selectable for measurement parity, NOT auto-picked: the Pallas
+        # revisiting-accumulator segsum ties the blocked path at ML-1M
+        # scale and LOSES at H&M scale because ``pallas_call`` forces the
+        # XLA-gathered message tiles to materialize in HBM and be re-read
+        # (one extra [E, D] round-trip ≈ 2.75 GB/direction at 21.5M edges)
+        # while the blocked path fuses the gather into its contraction —
+        # see the measured dead-end note in ``ops/spmm_pallas.py`` and the
+        # pallas_segsum row of ROOFLINE.json. It becomes the fast path only
+        # if Mosaic grows a multi-vreg in-kernel gather.
+        from ..ops.spmm_pallas import PallasGraph
+
+        return PallasGraph.from_graph(graph)
     assert mode == "auto", f"unknown propagation mode {mode!r}"
     op = maybe_dense(cfg, graph)
     from ..ops.spmm_blocked import BlockedGraph

@@ -57,6 +57,7 @@ def main():
         batch_size=BATCH, num_neighbors=24, n_hop_neighbors=2, k=12,
         candidate_pool_size=20, hidden_layer_size=64,
         encoder_layer_output_size=32, learning_rate=1e-3,
+        budget_probe=8,
     )
     data = create_link_pred_data(g, cfg)
     train_s, _, _ = create_samplers(cfg, data, seed=0)

@@ -190,3 +190,44 @@ class TestFailureDetection:
         stats = ep.run_pipeline(cfg, data, log_fn=logs.append)
         assert any("rolling back" in l for l in logs)
         assert np.isfinite(stats.recall_test)
+
+
+class TestProbedBudgets:
+    def test_probe_shrinks_and_trains_clean(self):
+        """cfg.budget_probe tightens the node/edge pad budgets to observed
+        usage (the static worst-case over-provisions ~10-20x on power-law
+        graphs — every conv segment-sum pays for that padding) while the
+        run stays truncation-free end-to-end."""
+        import dataclasses as dc
+
+        from laplace_gnn_recommendation_tpu.data.link_pred_data import (
+            create_link_pred_data,
+            create_samplers,
+        )
+        from laplace_gnn_recommendation_tpu.data.synthetic import (
+            random_hetero_graph,
+        )
+        from laplace_gnn_recommendation_tpu.train.encdec_pipeline import (
+            run_pipeline,
+        )
+
+        g = random_hetero_graph(seed=2, num_users=1000, num_items=2000, avg_degree=5)
+        cfg = Config(
+            epochs=2, batch_size=16, num_neighbors=8, n_hop_neighbors=2,
+            k=4, candidate_pool_size=8, eval_every=1, hidden_layer_size=8,
+            encoder_layer_output_size=8,
+        )
+        data = create_link_pred_data(g, cfg)
+        t0, _, _ = create_samplers(cfg, data, seed=0)
+        probed_cfg = dc.replace(cfg, budget_probe=4)
+        t1, _, _ = create_samplers(probed_cfg, data, seed=0)
+        b0, b1 = t0.budgets, t1.budgets
+        assert b1.num_item_slots < b0.num_item_slots
+        assert b1.num_edges <= b0.num_edges
+        assert b1.labels_per_user == b0.labels_per_user  # label grid untouched
+
+        stats = run_pipeline(probed_cfg, data, log_fn=lambda *_: None)
+        assert np.isfinite(stats.loss)
+        assert stats.truncations and all(
+            v == 0 for v in stats.truncations.values()
+        ), stats.truncations

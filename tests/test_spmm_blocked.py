@@ -298,11 +298,48 @@ class TestSrcSlicedGather:
             ei_im, eu_im, w_im, 300, 500, slice_rows=128, chunk_bucket=8,
         )
         assert plan.num_src_slices == 4
+        assert plan.slice_ends is not None  # per-slice sorted combine engaged
         got = blocked_segment_sum(plan, xu)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ri), rtol=1e-5, atol=1e-5)
         # with bf16 gathers too
         got16 = blocked_segment_sum(plan, xu, gather_bf16=True)
         np.testing.assert_allclose(np.asarray(got16), np.asarray(ri), rtol=2e-2, atol=2e-2)
+
+    def test_sliced_combine_through_k2_subsplit(self, monkeypatch):
+        """Per-slice sorted combine stays correct when slices sub-split
+        into k2 scan steps (MAX_CHUNKS_PER_SLICE exceeded): the partials
+        reshape back to per-slice order before the cumsum."""
+        import jax.numpy as jnp
+
+        import laplace_gnn_recommendation_tpu.ops.spmm_blocked as sb
+        from laplace_gnn_recommendation_tpu.data.graph import BipartiteGraph
+        from laplace_gnn_recommendation_tpu.data.synthetic import (
+            random_bipartite_edges,
+        )
+        from laplace_gnn_recommendation_tpu.ops.spmm import propagate_bipartite
+
+        monkeypatch.setattr(sb, "MAX_CHUNKS_PER_SLICE", 4)
+        eu, ei = random_bipartite_edges(
+            seed=6, num_users=400, num_items=200, avg_degree=6
+        )
+        g = BipartiteGraph.from_edges(eu, ei, 400, 200)
+        _, _, _, eu_im, ei_im, w_im = g.host_arrays()
+        rng = np.random.default_rng(2)
+        xu = jnp.asarray(rng.normal(size=(400, 8)).astype(np.float32))
+        _, ri = propagate_bipartite(
+            g, xu, jnp.zeros((200, 8), jnp.float32)
+        )
+        plan = sb.BlockedSegmentPlan.from_edges_src_sliced(
+            ei_im, eu_im, w_im, 200, 400, slice_rows=128, chunk_bucket=2,
+            edges_per_chunk=16, rows_per_chunk=4,
+        )
+        assert plan.slice_ends is not None
+        cs = plan.src.shape[0] // plan.num_src_slices
+        assert cs > 4  # really sub-splits
+        got = sb.blocked_segment_sum(plan, xu)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ri), rtol=1e-4, atol=1e-5
+        )
 
     def test_from_graph_slices_big_source_tables(self):
         from laplace_gnn_recommendation_tpu.data.graph import BipartiteGraph

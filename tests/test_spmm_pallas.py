@@ -126,3 +126,30 @@ class TestPallasSegmentSum:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
                                    rtol=1e-4, atol=1e-5)
+
+    def test_production_pallas_mode(self):
+        """``cfg.propagation='pallas'`` selects the PallasGraph operand and
+        ``lightgcn_forward`` dispatches it (VERDICT r4 item 2's
+        productization; the measured H&M dead-end is documented at the
+        select_propagation branch)."""
+        from laplace_gnn_recommendation_tpu.configs import LightGCNConfig
+        from laplace_gnn_recommendation_tpu.models.lightgcn import (
+            init_lightgcn,
+            lightgcn_forward,
+        )
+        from laplace_gnn_recommendation_tpu.train.lightgcn_pipeline import (
+            select_propagation,
+        )
+
+        U, I, E, D = 90, 60, 700, 8
+        eu, ei = _random_graph(11, U, I, E)
+        g = BipartiteGraph.from_edges(eu, ei, U, I)
+        op = select_propagation(LightGCNConfig(propagation="pallas"), g)
+        assert isinstance(op, PallasGraph)
+        params = init_lightgcn(jax.random.PRNGKey(0), U, I, D)
+        uf1, _, if1, _ = lightgcn_forward(params, g, 2)
+        uf2, _, if2, _ = lightgcn_forward(params, op, 2)
+        np.testing.assert_allclose(np.asarray(uf1), np.asarray(uf2),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(if1), np.asarray(if2),
+                                   rtol=1e-4, atol=1e-5)
