@@ -87,9 +87,12 @@ class BlockedSegmentPlan:
     # difference and the slice outputs sum. ``slice_ends[s, r]`` = index of
     # row r's LAST partial slot within slice s's flattened layout (-1 /
     # previous boundary when the slice holds no partial for r → zero diff).
-    # Kills the residual scatter (38 ms → ~10 ms at H&M's 1.96M partials →
-    # 105k items). Built only when num_rows is small enough that the
-    # per-slice boundary gather stays in the gather fast zone.
+    # NOT built by default (``build_slice_ends``): measured at H&M shape it
+    # wins standalone (to_item 113→106 ms vs the 38 ms scatter) but LOSES
+    # fused into the both-directions program (+150 ms — the [s_n, P_s, D]
+    # batched cumsum materializes ~250 MB and its boundary gather reads
+    # from 327k-row sources, past the gather fast zone; profile_hm r5c).
+    # Kept for catalogs whose per-slice partial counts stay window-sized.
     slice_ends: Optional[jnp.ndarray] = None
 
     @staticmethod
@@ -254,6 +257,7 @@ class BlockedSegmentPlan:
         chunk_bucket: int = 1024,
         slice_rows: int = 262144,
         sorted_combine: bool = False,
+        build_slice_ends: bool = False,
     ) -> "BlockedSegmentPlan":
         """Partition the edges by SOURCE-row slice so the device gathers
         from ≤``slice_rows``-row table windows — the fast zone of the XLA
@@ -331,7 +335,7 @@ class BlockedSegmentPlan:
 
         rows_stacked = pad_stack(3, num_rows)
         slice_ends = None
-        if num_rows <= BlockedGraph.SRC_SLICE_THRESHOLD:
+        if build_slice_ends and num_rows <= BlockedGraph.SRC_SLICE_THRESHOLD:
             # per-slice boundary index for the sorted combine (see field
             # doc): within each slice the flattened row_ids are
             # non-decreasing (pad chunks carry num_rows, sorted last)

@@ -296,6 +296,7 @@ class TestSrcSlicedGather:
         # force slicing with a tiny slice width (users split into 4 slices)
         plan = BlockedSegmentPlan.from_edges_src_sliced(
             ei_im, eu_im, w_im, 300, 500, slice_rows=128, chunk_bucket=8,
+            build_slice_ends=True,
         )
         assert plan.num_src_slices == 4
         assert plan.slice_ends is not None  # per-slice sorted combine engaged
@@ -331,7 +332,7 @@ class TestSrcSlicedGather:
         )
         plan = sb.BlockedSegmentPlan.from_edges_src_sliced(
             ei_im, eu_im, w_im, 200, 400, slice_rows=128, chunk_bucket=2,
-            edges_per_chunk=16, rows_per_chunk=4,
+            edges_per_chunk=16, rows_per_chunk=4, build_slice_ends=True,
         )
         assert plan.slice_ends is not None
         cs = plan.src.shape[0] // plan.num_src_slices
