@@ -39,11 +39,17 @@ def _sync(out):
 def timed(label, fn, *args, reps=REPS):
     out = fn(*args)
     _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    _sync(out)
-    dt = (time.perf_counter() - t0) / reps
+    # 3 windows, min: these stages are tens of ms — relay weather moves
+    # single-window numbers ±50% (observed fwd-only > fwd+bwd); the min
+    # window measures the machine
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        _sync(out)
+        dts.append((time.perf_counter() - t0) / reps)
+    dt = min(dts)
     print(f"{label:44s} {dt*1e3:9.2f} ms", flush=True)
     return dt
 
