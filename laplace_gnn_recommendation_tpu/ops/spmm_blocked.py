@@ -255,17 +255,20 @@ class BlockedSegmentPlan:
         edges_per_chunk: int = 128,
         rows_per_chunk: int = 8,
         chunk_bucket: int = 1024,
-        slice_rows: int = 262144,
+        slice_rows: int = 131072,
         sorted_combine: bool = False,
         build_slice_ends: bool = False,
     ) -> "BlockedSegmentPlan":
         """Partition the edges by SOURCE-row slice so the device gathers
         from ≤``slice_rows``-row table windows — the fast zone of the XLA
-        gather engine (see the field comment). The default width comes from
-        a measured sweep at H&M shape (SLICE_SWEEP.json, bf16 64B rows):
-        262144 → 269M rows/s is the knee; 131072 → 236M (more scan steps +
-        pad chunks), 65536 → 170M, and the cliff is sharp above — 524288 →
-        102M, unsliced 1.37M → 75M. Within each slice the
+        gather engine (see the field comment). Width caveat (SLICE_SWEEP.json
+        + profile_hm r5b–r5d at H&M shape, bf16 64B rows): STANDALONE the
+        knee is 262144 rows (100.8 ms vs 113.3 at 131072; 65536 → 158 ms,
+        524288 → 263, unsliced → 358) — but FUSED into the two-direction
+        propagation program the 262144 plan regresses hard (both-dirs
+        236 → 382 ms; the larger 33.5 MB scan windows break XLA's overlap
+        of the two directions), so the default stays 131072: the
+        composition that production actually runs is what's optimized. Within each slice the
         dst-sorted order is preserved (stable filtering of a sorted list),
         so the per-slice chunking is the ordinary plan; all slices pad to
         one chunk count and stack. Sliced plans always combine by scatter

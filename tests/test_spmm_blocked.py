@@ -355,5 +355,5 @@ class TestSrcSlicedGather:
         # user-table metadata past the threshold → to_item slices its source
         g = BipartiteGraph.from_edges(eu, ei, (1 << 18) + 8, 100)
         bg = BlockedGraph.from_graph(g)
-        assert bg.to_item.num_src_slices == 2  # ceil(2^18+8 / 2^18)
+        assert bg.to_item.num_src_slices == 3  # ceil(2^18+8 / 2^17)
         assert bg.to_user.num_src_slices == 1
