@@ -37,7 +37,9 @@ NUM_ITEMS = 104_547     # H&M articles.parquet cardinality
 AVG_DEGREE = 23.0       # ≈30M raw transactions, ~24M after (u,i) dedup
 NUM_CLUSTERS = 200      # latent structure: ~520 articles per style cluster
 DIM = 32
-K = 4
+K = 4       # overridable via --k-iters (HPO winner adoption)
+LR = 1e-2   # overridable via --lr
+LAMBDA = 1e-6  # overridable via --lam
 BATCH = 32_768
 CONV_STEPS = 1000
 EVAL_EVERY = 25  # fine-grained best-val selection: the BPR peak is narrow
@@ -107,7 +109,7 @@ def make_cfg(**kw):
         hidden_layer_size=DIM, num_iterations=K, batch_size=BATCH,
         epochs=CONV_STEPS, eval_every=EVAL_EVERY,
         lr_decay_every=max(1, CONV_STEPS // 67),
-        learning_rate=1e-2, eval_user_cap=EVAL_CAP, Lambda=1e-6,
+        learning_rate=LR, eval_user_cap=EVAL_CAP, Lambda=LAMBDA,
         select_best_val=True,
         propagation="auto", dense_bytes_budget=4 << 30,  # 288 GB → blocked
     )
@@ -313,10 +315,19 @@ def main():
                          "(0 = skip; each step is minutes at this scale)")
     ap.add_argument("--steps", type=int, default=None,
                     help="override CONV_STEPS (wall-budget knob)")
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--lam", type=float, default=None)
+    ap.add_argument("--k-iters", type=int, default=None)
     args = ap.parse_args()
+    global CONV_STEPS, LR, LAMBDA, K
     if args.steps:
-        global CONV_STEPS
         CONV_STEPS = args.steps
+    if args.lr:
+        LR = args.lr
+    if args.lam:
+        LAMBDA = args.lam
+    if args.k_iters:
+        K = args.k_iters
 
     data, eu, ei, build_s = build_data()
     train_edges = data.train_graph.num_edges
