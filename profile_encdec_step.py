@@ -30,6 +30,35 @@ NUM_USERS, NUM_ITEMS, AVG_DEG = 200_000, 50_000, 16
 BATCH = 256
 REPS = 20
 
+# Round-5 re-measurement findings, recorded with the stage table (see
+# bench_conv_agg.py and the /tmp prototypes it summarizes).
+ANALYSIS = (
+    "Re-profiled on an uncontended relay: full step 25.5 ms = 39.2 "
+    "batches/s = 10,046 users/s at the probed 200k shape - 2.6x the "
+    "device rate in the round-4 BENCH_ENCDEC (15.1 b/s), which was "
+    "measured under relay congestion; the earlier 28 ms agg-pair stage "
+    "and 4.4k users/s were congestion artifacts (stage rows here still "
+    "carry cross-block jitter: fwd_bwd can exceed full_step). The conv "
+    "aggregation is GATHER-engine-bound, not scatter-bound: with chained "
+    "dependencies a single [148k]-row gather from the [31872,64] f32 "
+    "table costs 2.9 ms (~50M rows/s, the engine's fixed row rate; bf16 "
+    "rows are no faster at this table size), while the dst-sorted "
+    "cumsum-diff segment sum ties the production segment_sum form at "
+    "3.1 ms because both pay the same per-edge gather - the cumsum "
+    "itself is 0.04 ms (these batch arrays live in VMEM S(1) at TB/s). "
+    "Measured dead end: the double-one-hot blocked SpMM (chunk adjacency "
+    "= onehot_dst @ onehot_src on the MXU, contracted against a "
+    "VMEM-resident src-slice window, eliminating the per-edge gather) "
+    "costs 3.7-5.5 ms for the MXU core alone: at R_c=8 the per-slice dst "
+    "degrees (~1) collapse chunk fill to 0.08, and at R_c=E_c=128 "
+    "one-hot materialization + scan-step overhead cap it at 10-17 eff "
+    "TFLOP/s - not competitive with the 4.1 ms gather+segsum it would "
+    "replace. XLA already overlaps the two directions' independent "
+    "gathers (the pair measures 1.8 ms vs 2x2.9 serialized). At 39 b/s "
+    "the device consumes ~1/3 of the 2-worker sampler feed (121 b/s): "
+    "DP scaling is feed-limited, not device-limited."
+)
+
 
 def _sync(out):
     leaf = jax.tree.leaves(out)[0]
@@ -239,6 +268,7 @@ def main():
         "per_stage_ms": {k: round(v * 1e3, 2) for k, v in stages.items()},
         "batches_per_sec": round(batches_per_s, 2),
         "users_per_sec": round(users_per_s, 1),
+        "analysis": ANALYSIS,
     }
     with open("ROOFLINE.json.tmp", "w") as f:
         json.dump(roofline, f, indent=1)
