@@ -27,6 +27,26 @@ DIM = 32
 K = 4
 REPS = 5
 
+ROUND5_CHANGES = (
+    "(1) whole-loop self-adjoint VJP (ops/multiscale.py): the K-loop "
+    "multi-scale operator is self-adjoint, so backward = ONE forward on "
+    "cotangents - value_and_grad 3389 -> 2450 ms (1.38x; backward now an "
+    "exact mirror, 2.0x forward in total). fwd+bwd fraction 0.311 -> 0.43. "
+    "(2) Measured dead-ends, kept out of production with artifacts: "
+    "262144-row src slices win standalone (to_item 113->101 ms) but regress "
+    "the fused two-direction program (236->382 ms both-dirs, K4 fwd "
+    "1232->1481 - larger scan windows break XLA's direction overlap; "
+    "r5c/r5d); per-slice sorted combine likewise wins standalone (-7 ms) "
+    "and loses fused (+150 ms); the double-one-hot chunk-adjacency SpMM "
+    "(eliminate the per-edge gather via onehot_dst @ onehot_src on the MXU) "
+    "loses 2-4x at the encdec shape (see encdec_step.analysis) and scales "
+    "worse here (wide slices blow up the one-hot FLOPs). (3) remaining gap "
+    "analysis: per-direction segsums run at 76-100% of their own floors; "
+    "the residual is the K-loop's data-dependent latency - the standalone "
+    "both-dirs number is pipelined across reps while in-loop iterations "
+    "serialize on true dependencies."
+)
+
 
 def _sync(out):
     """Completion barrier: over the axon relay block_until_ready is not a
@@ -157,23 +177,30 @@ def main():
           f"r_c={bg.to_user.rows_per_chunk}")
     print(f"to_item sorted_combine={bg.to_item.sorted_combine} "
           f"r_c={bg.to_item.rows_per_chunk}", flush=True)
-    dt = timed("to_user FULL segsum", seg_full, bg.to_user, i32)
+    stages = {}
+    dt = stages["to_user_full_segsum"] = timed(
+        "to_user FULL segsum", seg_full, bg.to_user, i32)
     print(f"   -> {e/dt/1e6:.0f}M rows/s")
-    dt_g = timed("to_user gather+multiply only", seg_gather_only, bg.to_user, i32)
+    dt_g = stages["to_user_gather_multiply_only"] = timed(
+        "to_user gather+multiply only", seg_gather_only, bg.to_user, i32)
     print(f"   -> {e/dt_g/1e6:.0f}M rows/s")
-    dt_c = timed("to_user gather+contract (no scatter)", seg_no_scatter, bg.to_user, i32)
+    dt_c = stages["to_user_gather_contract_no_scatter"] = timed(
+        "to_user gather+contract (no scatter)", seg_no_scatter, bg.to_user, i32)
 
     # --- to_item (src-sliced gather from 1.37M users, scatter to 105k items)
-    dt = timed("to_item FULL segsum", seg_full, bg.to_item, u32)
+    dt = stages["to_item_full_segsum_srcsliced"] = timed(
+        "to_item FULL segsum", seg_full, bg.to_item, u32)
     print(f"   -> {e/dt/1e6:.0f}M rows/s")
     c_i, r_ci = bg.to_item.src.shape[0], bg.to_item.rows_per_chunk
     fake_p = jnp.zeros((c_i, r_ci, DIM), jnp.float32)
-    timed("to_item scatter only", scatter_only, bg.to_item.row_ids, fake_p,
-          NUM_ITEMS)
+    stages["to_item_scatter_only"] = timed(
+        "to_item scatter only", scatter_only, bg.to_item.row_ids, fake_p,
+        NUM_ITEMS)
 
     # --- both directions fused + K loop
     f_prop = jax.jit(lambda b, u, i: propagate_blocked(b, u, i))
-    dt_p = timed("propagate_blocked (both dirs)", f_prop, bg, u32, i32)
+    dt_p = stages["propagate_both_dirs"] = timed(
+        "propagate_blocked (both dirs)", f_prop, bg, u32, i32)
 
     # PRODUCTION K-loop: lightgcn_propagate_blocked carries the whole-loop
     # self-adjoint VJP (ops/multiscale.py) — backward is ONE forward on the
@@ -184,14 +211,14 @@ def main():
     )
 
     f_fwd = jax.jit(lambda b, u, i: lightgcn_propagate_blocked(b, u, i, K))
-    dt_f = timed(f"K={K} forward", f_fwd, bg, u32, i32)
+    dt_f = stages[f"K{K}_forward"] = timed(f"K={K} forward", f_fwd, bg, u32, i32)
 
     def loss(u, i, b):
         au, ai = lightgcn_propagate_blocked(b, u, i, K)
         return jnp.sum(au[:128] @ ai[:128].T)
 
     f_vg = jax.jit(lambda u, i, b: jax.value_and_grad(loss, argnums=(0, 1))(u, i, b))
-    dt_vg = timed("value_and_grad(K-loop + toy head)", f_vg, u32, i32, bg)
+    dt_vg = stages[f"K{K}_value_and_grad_wholeloop_vjp"] = timed("value_and_grad(K-loop + toy head)", f_vg, u32, i32, bg)
 
     def fwd_inline(b, u, i):
         au, ai = u, i
@@ -207,7 +234,7 @@ def main():
     f_vg_old = jax.jit(
         lambda u, i, b: jax.value_and_grad(loss_inline, argnums=(0, 1))(u, i, b)
     )
-    dt_vg_old = timed(
+    dt_vg_old = stages[f"K{K}_value_and_grad_periter_vjp"] = timed(
         "value_and_grad(inline loop, per-iter VJP)", f_vg_old, u32, i32, bg
     )
     print(f"whole-loop VJP speedup over per-iter: {dt_vg_old/dt_vg:.2f}x",
@@ -245,8 +272,14 @@ def main():
             "numerator counts one row-gather per edge per direction per "
             "K-iteration (x2 for backward); denominator is the measured "
             "gather+multiply-only rate of the identical chunked access "
-            "pattern (seg_gather_only) at H&M shape on this chip"
+            "pattern (seg_gather_only) at H&M shape on this chip. "
+            "PRODUCTION config (131072-row src slices, scatter combine for "
+            "the sliced direction, whole-loop self-adjoint VJP). Absolute "
+            "stage times move ~±15% run-to-run with relay weather; the "
+            "fraction (same-run numerator/denominator) is stable."
         ),
+        "per_stage_ms": {k: round(v * 1e3, 1) for k, v in stages.items()},
+        "round5_changes": ROUND5_CHANGES,
     }
     with open("ROOFLINE.json.tmp", "w") as f:
         json.dump(roofline, f, indent=1)
