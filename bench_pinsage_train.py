@@ -105,36 +105,32 @@ def baseline_hits(data, tr_i, split="test", cap=EVAL_USER_CAP):
     return float(np.mean(hits_pop)), float(np.mean(hits_rnd))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=3000)
-    ap.add_argument("--eval-every", type=int, default=1000)
-    ap.add_argument("--batch", type=int, default=2048)
-    ap.add_argument("--lr", type=float, default=3e-4)
-    args = ap.parse_args()
-
-    import jax
-
+def _run_leg(args):
+    """One process leg: resume from the state dir's newest checkpoint, train
+    ONE epoch (eval_every steps), eval val HITS, checkpoint, append a curve
+    row, exit. The leg that completes the final epoch also runs the test
+    eval and leaves its result in the state file. Process-per-leg isolates
+    the device-relay wedge that reproducibly killed the TPU worker partway
+    through single-process runs of this flagship (UNAVAILABLE: TPU worker
+    process crashed; same failure class the HPO study's
+    one-process-per-rung legs were built for)."""
     from laplace_gnn_recommendation_tpu.train import pinsage_pipeline as P
 
     t0 = time.perf_counter()
     data, tr_u, tr_i = build_split_data()
-    build_s = time.perf_counter() - t0
-    print(f"data build: {build_s:.1f}s train_edges={len(tr_u)}", flush=True)
+    print(f"data build: {time.perf_counter()-t0:.1f}s "
+          f"train_edges={len(tr_u)}", flush=True)
 
-    t0 = time.perf_counter()
-    pop_hits, rnd_hits = baseline_hits(data, tr_i)
-    print(f"baselines: popularity HITS@{K}={pop_hits:.4f} "
-          f"random={rnd_hits:.4f} ({time.perf_counter()-t0:.0f}s)", flush=True)
+    state_path = os.path.join(args.state_dir, "state.json")
+    state = json.load(open(state_path)) if os.path.exists(state_path) else {
+        "curve": [], "losses": [], "train_wall_s": 0.0,
+    }
 
     cfg = P.PinSAGEConfig(
         hidden_dims=HIDDEN, batch_size=args.batch, lr=args.lr, k=K,
         num_epochs=max(1, args.steps // args.eval_every),
         batches_per_epoch=args.eval_every, seed=0,
     )
-    curve = []
-    t_train = time.perf_counter()
-
     orig_hits = P.hits_at_k
 
     def capped_hits(data_, h, k, split="val", **kw):
@@ -142,17 +138,82 @@ def main():
         return orig_hits(data_, h, k, split, **kw)
 
     P.hits_at_k = capped_hits
+    t_train = time.perf_counter()
     try:
-        def log_fn(msg):
-            print(msg, flush=True)
-            if "HITS" in msg and "val" in msg:
-                curve.append(float(msg.rsplit(":", 1)[1]))
-
-        res = P.train(cfg, data, log_fn=log_fn)
+        res = P.train(
+            cfg, data, log_fn=lambda m: print(m, flush=True),
+            checkpoint_dir=args.state_dir, max_epochs_this_run=1,
+        )
     finally:
         P.hits_at_k = orig_hits
-    wall = time.perf_counter() - t_train
+    state["train_wall_s"] += time.perf_counter() - t_train
+    state["curve"].append(round(float(res["val_hits"]), 5))
+    state["losses"].append(round(float(res["loss"]), 5))
+    if res["completed"]:
+        state["test_hits"] = round(float(res["test_hits"]), 5)
+        state["completed"] = True
+    with open(state_path + ".tmp", "w") as f:
+        json.dump(state, f)
+    os.replace(state_path + ".tmp", state_path)
 
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--eval-every", type=int, default=1000)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--state-dir", default="/tmp/pinsage_flagship")
+    ap.add_argument("--retries", type=int, default=3,
+                    help="consecutive no-progress legs tolerated")
+    ap.add_argument("--worker", action="store_true",
+                    help="internal: run one training leg and exit")
+    args = ap.parse_args()
+
+    if args.worker:
+        _run_leg(args)
+        return
+
+    import subprocess
+    import sys
+
+    os.makedirs(args.state_dir, exist_ok=True)
+    state_path = os.path.join(args.state_dir, "state.json")
+
+    def read_state():
+        if os.path.exists(state_path):
+            return json.load(open(state_path))
+        return {"curve": [], "losses": [], "train_wall_s": 0.0}
+
+    num_epochs = max(1, args.steps // args.eval_every)
+    stalls = 0
+    while not read_state().get("completed"):
+        before = len(read_state()["curve"])
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+               "--steps", str(args.steps),
+               "--eval-every", str(args.eval_every),
+               "--batch", str(args.batch), "--lr", str(args.lr),
+               "--state-dir", args.state_dir]
+        r = subprocess.run(cmd, timeout=3600)
+        progressed = len(read_state()["curve"]) > before
+        print(f"[driver] leg rc={r.returncode} progressed={progressed} "
+              f"epochs={len(read_state()['curve'])}/{num_epochs}", flush=True)
+        if not progressed:
+            stalls += 1
+            if stalls >= args.retries:
+                raise SystemExit(
+                    f"no progress after {stalls} consecutive legs")
+        else:
+            stalls = 0
+
+    state = read_state()
+    data, tr_u, tr_i = build_split_data()
+    t0 = time.perf_counter()
+    pop_hits, rnd_hits = baseline_hits(data, tr_i)
+    print(f"baselines: popularity HITS@{K}={pop_hits:.4f} "
+          f"random={rnd_hits:.4f} ({time.perf_counter()-t0:.0f}s)", flush=True)
+
+    wall = state["train_wall_s"]
     payload = {
         "scale": {"num_users": NUM_USERS, "num_items": NUM_ITEMS,
                   "train_edges": int(len(tr_u))},
@@ -160,13 +221,18 @@ def main():
                    "hidden": HIDDEN, "eval_user_cap": EVAL_USER_CAP},
         "wall_s": round(wall, 1),
         "triples_per_sec_train": round(args.steps * args.batch / wall, 1),
-        "val_hits_curve@12": [round(v, 5) for v in curve],
-        "val_hits@12": round(res["val_hits"], 5),
-        "test_hits@12": round(res["test_hits"], 5),
+        "val_hits_curve@12": state["curve"],
+        "val_hits@12": state["curve"][-1] if state["curve"] else None,
+        "test_hits@12": state["test_hits"],
         "popularity_hits@12": round(pop_hits, 5),
         "random_hits@12": round(rnd_hits, 5),
         "vs_popularity": (
-            round(res["test_hits"] / pop_hits, 2) if pop_hits else None
+            round(state["test_hits"] / pop_hits, 2) if pop_hits else None
+        ),
+        "note": (
+            "process-per-epoch legs with checkpoint/resume "
+            "(relay-wedge isolation); wall_s sums the legs' train+eval "
+            "time and includes per-leg recompiles"
         ),
     }
     # merge into BENCH_PINSAGE.json as the quality block

@@ -169,13 +169,27 @@ def train(
     data: PinSAGEData,
     log_fn=print,
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
+    max_epochs_this_run: Optional[int] = None,
 ) -> dict:
     """Training loop (reference ``pinsage/model.py:105-134``). Returns a dict
     with final params, item embeddings and HITS@k per split.
 
     With a multi-device ``mesh``: the (head, tail, neg) pair batch splits
     over the ``data`` axis (DP) and the HITS@k catalog sweeps run the
-    distributed MIPS path over the ``model`` axis."""
+    distributed MIPS path over the ``model`` axis.
+
+    ``checkpoint_dir`` enables epoch-granular checkpoint/resume
+    (params + optimizer [+ sparse-Adam] state, npz via
+    ``train.checkpoint``): a fresh call resumes from the newest
+    ``pinsage_<epoch>`` checkpoint with the PRNG key folded by the start
+    epoch (the resume replays no step-key stream). Combined with
+    ``max_epochs_this_run`` this supports process-per-leg drivers that
+    isolate device-relay wedges (the same pattern as the HPO study's
+    one-process-per-rung legs): each process trains a bounded number of
+    epochs and exits; the final test HITS eval runs only in the leg that
+    completes ``cfg.num_epochs``. Early-exit calls return
+    ``completed=False`` and no ``test_hits``."""
     sampler = PinSAGESampler(
         data,
         random_walk_length=cfg.random_walk_length,
@@ -299,7 +313,35 @@ def train(
     val_hits = 0.0
     from ..data.prefetch import prefetch
 
-    for epoch in range(cfg.num_epochs):
+    start_epoch = 0
+
+    def _ckpt_state():
+        st = {"params": params, "opt_state": opt_state}
+        if cfg.sparse_embedding:
+            st["sparse_state"] = sparse_state
+        return st
+
+    if checkpoint_dir:
+        import os
+
+        from .checkpoint import load_latest, save_state
+
+        restored, ver = load_latest(
+            checkpoint_dir, _ckpt_state(), prefix="pinsage_"
+        )
+        if ver is not None:
+            params = restored["params"]
+            opt_state = restored["opt_state"]
+            if cfg.sparse_embedding:
+                sparse_state = restored["sparse_state"]
+            start_epoch = int(ver)
+            # do not replay the epoch-0 step-key stream on resume
+            # (mirrors lightgcn_pipeline's fold_in(key, start_it))
+            key = jax.random.fold_in(key, start_epoch)
+            log_fn(f"[resume] from epoch {start_epoch}")
+
+    epochs_this_run = 0
+    for epoch in range(start_epoch, cfg.num_epochs):
         # host sampling + host→device upload overlap the device step via a
         # prefetch thread with an async device_put transform — the
         # serialized sample→upload→step loop left the device idle most of
@@ -322,6 +364,24 @@ def train(
         log_fn(
             f"[epoch {epoch}] loss: {float(loss):.5f} HITS@{cfg.k} (val): {val_hits:.5f}"
         )
+        if checkpoint_dir:
+            save_state(
+                os.path.join(checkpoint_dir, f"pinsage_{epoch + 1}"),
+                _ckpt_state(),
+            )
+        epochs_this_run += 1
+        if (
+            max_epochs_this_run is not None
+            and epochs_this_run >= max_epochs_this_run
+            and epoch + 1 < cfg.num_epochs
+        ):
+            return {
+                "params": params,
+                "val_hits": val_hits,
+                "loss": float(loss),
+                "completed": False,
+                "epochs_done": epoch + 1,
+            }
 
     h_item = embed_all_items(
         cfg, params, data, sampler, item_features, item_features_float
@@ -334,6 +394,8 @@ def train(
         "val_hits": val_hits,
         "test_hits": test_hits,
         "loss": float(loss),
+        "completed": True,
+        "epochs_done": cfg.num_epochs,
     }
 
 

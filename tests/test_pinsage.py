@@ -133,6 +133,29 @@ class TestPipeline:
         # this dense tiny graph
         assert 0.0 <= out["test_hits"] <= 1.0
 
+    def test_checkpoint_resume_legs(self, data, tmp_path):
+        """Process-per-leg driver contract: two bounded-epoch calls through
+        checkpoint_dir must cover the same epochs as one straight run, with
+        the final leg completing (test eval) and the resumed leg folding the
+        key rather than replaying epoch 0's stream."""
+        cfg = PinSAGEConfig(
+            num_epochs=2, batches_per_epoch=20, batch_size=8,
+            hidden_dims=16, lr=3e-3, k=5, seed=0,
+        )
+        d = str(tmp_path / "legs")
+        leg1 = train(cfg, data, log_fn=lambda *_: None,
+                     checkpoint_dir=d, max_epochs_this_run=1)
+        assert leg1["completed"] is False and leg1["epochs_done"] == 1
+        assert "test_hits" not in leg1
+        leg2 = train(cfg, data, log_fn=lambda *_: None,
+                     checkpoint_dir=d, max_epochs_this_run=1)
+        assert leg2["completed"] is True and leg2["epochs_done"] == 2
+        assert 0.0 <= leg2["test_hits"] <= 1.0
+        # resumed params differ from leg1's (epoch 1 actually trained)
+        a = np.asarray(jax.tree.leaves(leg1["params"])[0])
+        b = np.asarray(jax.tree.leaves(leg2["params"])[0])
+        assert not np.allclose(a, b)
+
     def test_hits_oracle(self, data):
         """With identity-like embeddings, hits happen iff a user's val item
         is similar to their latest item — check against a direct computation."""
