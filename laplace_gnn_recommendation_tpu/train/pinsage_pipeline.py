@@ -141,6 +141,15 @@ def hits_at_k(
 
     for s in range(0, len(users), batch_size):
         chunk = users[s : s + batch_size]
+        n_real = len(chunk)
+        if n_real < batch_size:
+            # pad the tail chunk to the one fixed batch shape: compiling a
+            # SECOND [B', I] program against the same catalog-wide operands
+            # reproducibly wedges the relay-hosted TPU worker (INTERNAL
+            # backend error / worker crash on the 10000%512-row tail —
+            # minimal repro: a [512, 104547] matmul then a [272, 104547]
+            # one). One static shape is also simply the right TPU design.
+            chunk = chunk + [chunk[-1]] * (batch_size - n_real)
         latest = data.latest_item_per_user[chunk]
         excl = np.full((len(chunk), max_deg), -1, np.int64)
         cnt = np.zeros(len(chunk), np.int32)
@@ -159,7 +168,7 @@ def hits_at_k(
                 scores, k, jnp.asarray(excl.astype(np.int32)), jnp.asarray(cnt)
             )
         topk = np.asarray(topk)
-        for row, u in enumerate(chunk):
+        for row, u in enumerate(chunk[:n_real]):
             hits.append(bool(np.isin(topk[row], gt[u]).any()))
     return float(np.mean(hits)) if hits else 0.0
 
