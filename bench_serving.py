@@ -136,13 +136,20 @@ def main():
     }
     print(json.dumps(ranking_result))
     print(json.dumps(quant_result))
-    with open(
-        os.path.join(os.path.dirname(__file__), "BENCH_SERVING.json"), "w"
-    ) as f:
-        json.dump(
-            {"ranking": ranking_result, "quantized_retrieval": quant_result},
-            f, indent=1,
-        )
+    # merge-preserve blocks other writers own (device_amortized from
+    # bench_serving_device.py) instead of clobbering the artifact
+    path = os.path.join(os.path.dirname(__file__), "BENCH_SERVING.json")
+    payload = {}
+    if os.path.exists(path):
+        try:
+            payload = json.load(open(path))
+        except (json.JSONDecodeError, OSError):
+            payload = {}
+    payload["ranking"] = ranking_result
+    payload["quantized_retrieval"] = quant_result
+    with open(path + ".tmp", "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(path + ".tmp", path)
 
 
 if __name__ == "__main__":
